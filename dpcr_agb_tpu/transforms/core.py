@@ -1,0 +1,142 @@
+"""Transform-layer core: sample dict conventions, masking, registry, composition.
+
+A *sample* is a plain dict of numpy arrays:
+  * ``pos`` [N,3] float32 — always present
+  * per-point arrays (leading dim == N): ``x``, ``ones``, ``pos_z``,
+    ``xy_distance``, ``coords``, ...
+  * per-sample arrays/scalars: ``y_reg`` [T], ``y_reg_mask`` [T], ``area_idx``,
+    ``label_idx``, ``stats``, ``grid_size``, ...
+
+Every transform is a callable ``t(rng, sample) -> sample`` taking an explicit
+``np.random.Generator`` — no global RNG anywhere, so a worker's pipeline is a
+pure function of (seed, epoch, sample index).  This replaces the reference's
+implicit `random`/`torch.rand` streams (randomness parity is statistical, see
+SURVEY.md §7 hard-part 5).
+
+Masking semantics mirror the reference's ``apply_mask``
+(core/data_transform/transforms.py:1090-1095): every array whose leading dim
+equals len(pos) is masked, except keys in ``skip_list``.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+Sample = Dict[str, Any]
+
+# registry name -> class
+TRANSFORM_REGISTRY: Dict[str, type] = {}
+
+
+def register(cls=None, *, name: Optional[str] = None):
+    def wrap(c):
+        key = name or c.__name__
+        if key in TRANSFORM_REGISTRY and TRANSFORM_REGISTRY[key] is not c:
+            raise ValueError(f"Duplicate transform registration: {key}")
+        TRANSFORM_REGISTRY[key] = c
+        return c
+    return wrap(cls) if cls is not None else wrap
+
+
+def num_points(sample: Sample) -> int:
+    return int(sample["pos"].shape[0])
+
+
+def _is_pointwise(key: str, value: Any, n: int, skip: Sequence[str]) -> bool:
+    return (
+        isinstance(value, np.ndarray)
+        and value.ndim >= 1
+        and value.shape[0] == n
+        and key not in skip
+    )
+
+
+def apply_mask(sample: Sample, mask: np.ndarray, skip_list: Sequence[str] = ()) -> Sample:
+    """Boolean-mask all per-point arrays (reference transforms.py:1090-1095)."""
+    n = num_points(sample)
+    out = dict(sample)
+    for k, v in sample.items():
+        if _is_pointwise(k, v, n, skip_list):
+            out[k] = v[mask]
+    return out
+
+
+def apply_index(sample: Sample, idx: np.ndarray, skip_list: Sequence[str] = ()) -> Sample:
+    """Index/reorder all per-point arrays; `pos` is always indexed (reference
+    FixedPointsOwn semantics, transforms.py:1312-1361). Arrays with leading
+    dim 1 are left alone (per-sample rows)."""
+    n = num_points(sample)
+    out = dict(sample)
+    for k, v in sample.items():
+        if k == "pos" or (_is_pointwise(k, v, n, skip_list) and v.shape[0] != 1):
+            out[k] = v[idx]
+    return out
+
+
+def shuffle_sample(rng: np.random.Generator, sample: Sample) -> Sample:
+    """Permute all per-point arrays together (reference grid_transform.py:22-29;
+    note: the reference shuffles *every* same-length tensor, ignoring skip lists)."""
+    n = num_points(sample)
+    perm = rng.permutation(n)
+    out = dict(sample)
+    for k, v in sample.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n:
+            out[k] = v[perm]
+    return out
+
+
+class Transform:
+    """Base class: subclasses implement __call__(rng, sample) -> sample."""
+
+    def __call__(self, rng: np.random.Generator, sample: Sample) -> Sample:
+        raise NotImplementedError
+
+    def __repr__(self):
+        attrs = ", ".join(f"{k}={v!r}" for k, v in vars(self).items()
+                          if not k.startswith("_"))
+        return f"{type(self).__name__}({attrs})"
+
+
+class Compose(Transform):
+    def __init__(self, transforms: List[Callable]):
+        self.transforms = list(transforms)
+
+    def __call__(self, rng, sample):
+        for t in self.transforms:
+            sample = t(rng, sample)
+        return sample
+
+    def __repr__(self):
+        body = "\n".join(f"    {t!r}," for t in self.transforms)
+        return f"Compose([\n{body}\n])"
+
+
+def _to_plain(obj):
+    """Cfg/list wrappers -> plain python."""
+    if hasattr(obj, "to_dict"):
+        return obj.to_dict()
+    if isinstance(obj, dict):
+        return {k: _to_plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_plain(v) for v in obj]
+    return obj
+
+
+def instantiate_transform(entry) -> Transform:
+    """Build one transform from a config entry {transform: Name, params: {...}}
+    (reference core/data_transform/__init__.py:18-45)."""
+    entry = _to_plain(entry)
+    name = entry["transform"]
+    params = entry.get("params", {}) or {}
+    if name not in TRANSFORM_REGISTRY:
+        raise ValueError(f"Unknown transform: {name}. "
+                         f"Known: {sorted(TRANSFORM_REGISTRY)}")
+    return TRANSFORM_REGISTRY[name](**params)
+
+
+def instantiate_transforms(cfg_list) -> Compose:
+    """Build a Compose from a config list (reference __init__.py:48-94)."""
+    if cfg_list is None:
+        return Compose([])
+    return Compose([instantiate_transform(e) for e in _to_plain(cfg_list)])
