@@ -1,0 +1,144 @@
+"""Fixed-shape batch assembly — the TPU replacement for the reference's
+collate functions (datasets/batch.py SimpleBatch, PyG Batch).
+
+Everything the jitted step consumes is a `Batch` of statically-shaped padded
+arrays (SURVEY.md §7 decision 1):
+  * dense point clouds:  pos [B,N,3], x [B,N,C], mask [B,N]
+  * sparse voxel clouds: coords [B,V,3] int32 (PAD_COORD at padding), same
+    x/mask layout — per-sample padding keeps the batch axis shardable across a
+    data-parallel mesh.
+Point/voxel counts are padded to bucket sizes (powers of two by default) so
+XLA compiles one program per bucket, not per batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+PAD_COORD = np.int32(-(2 ** 20))  # impossible voxel coordinate
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Batch:
+    pos: Any                      # [B, N, 3] f32
+    x: Any                        # [B, N, C] f32
+    mask: Any                     # [B, N] bool
+    y_reg: Any                    # [B, T] f32 (NaN = missing)
+    y_reg_mask: Any               # [B, T] bool
+    area_idx: Any                 # [B] i32
+    label_idx: Any                # [B] i64
+    is_double: Any                # [B] bool
+    coords: Any = None            # [B, N, 3] i32 (sparse models only)
+    stats: Any = None             # [B, S] f32
+
+    def tree_flatten(self):
+        fields = dataclasses.fields(self)
+        children = tuple(getattr(self, f.name) for f in fields)
+        return children, tuple(f.name for f in fields)
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        return cls(**dict(zip(names, children)))
+
+    @property
+    def batch_size(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.pos.shape[1]
+
+
+def bucket_size(n: int, buckets: Optional[Sequence[int]] = None,
+                minimum: int = 256) -> int:
+    """Smallest bucket >= n; default buckets are powers of two."""
+    if buckets:
+        for b in sorted(buckets):
+            if n <= b:
+                return int(b)
+        return int(max(buckets))
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class CollateSpec:
+    """Policy for batch assembly, derived from the model's conv_type + data cfg."""
+    conv_type: str = "dense"              # dense | sparse
+    num_points: Optional[int] = None      # fixed N (dense presets) or None
+    buckets: Optional[Sequence[int]] = None
+    min_bucket: int = 512
+    use_coords: bool = False
+
+
+def collate(samples: List[dict], spec: CollateSpec) -> Batch:
+    """Pad a list of transform-layer sample dicts into one fixed-shape Batch."""
+    bs = len(samples)
+    counts = [s["pos"].shape[0] for s in samples]
+    if spec.num_points is not None:
+        n_pad = spec.num_points
+        if max(counts) > n_pad:
+            raise ValueError(f"sample with {max(counts)} points exceeds fixed "
+                             f"num_points={n_pad}")
+    else:
+        n_pad = bucket_size(max(counts), spec.buckets, spec.min_bucket)
+
+    c_dim = 0
+    for s in samples:
+        if s.get("x") is not None:
+            c_dim = int(s["x"].shape[-1])
+            break
+    t_dim = 0
+    for s in samples:
+        if s.get("y_reg") is not None:
+            t_dim = int(np.atleast_1d(s["y_reg"]).shape[-1])
+            break
+
+    pos = np.zeros((bs, n_pad, 3), dtype=np.float32)
+    x = np.zeros((bs, n_pad, c_dim), dtype=np.float32)
+    mask = np.zeros((bs, n_pad), dtype=bool)
+    y_reg = np.full((bs, t_dim), np.nan, dtype=np.float32)
+    y_reg_mask = np.zeros((bs, t_dim), dtype=bool)
+    area_idx = np.zeros(bs, dtype=np.int32)
+    label_idx = np.zeros(bs, dtype=np.int64)
+    is_double = np.zeros(bs, dtype=bool)
+    coords = None
+    if spec.use_coords:
+        coords = np.full((bs, n_pad, 3), PAD_COORD, dtype=np.int32)
+    stats = None
+    if samples[0].get("stats") is not None:
+        stats = np.zeros((bs, len(np.atleast_1d(samples[0]["stats"]))),
+                         dtype=np.float32)
+
+    for i, s in enumerate(samples):
+        n = counts[i]
+        pos[i, :n] = s["pos"]
+        mask[i, :n] = True
+        if c_dim and s.get("x") is not None:
+            x[i, :n] = s["x"]
+        if t_dim and s.get("y_reg") is not None:
+            y_reg[i] = np.atleast_1d(s["y_reg"])
+            if s.get("y_reg_mask") is not None:
+                y_reg_mask[i] = np.atleast_1d(s["y_reg_mask"])
+            else:
+                y_reg_mask[i] = ~np.isnan(y_reg[i])
+        area_idx[i] = int(s.get("area_idx", 0))
+        label_idx[i] = int(s.get("label_idx", i))
+        is_double[i] = bool(s.get("is_double", False))
+        if coords is not None:
+            if "coords" not in s:
+                raise ValueError("sparse collate requires quantized 'coords' "
+                                 "(add GridSampling3D(quantize_coords=True))")
+            coords[i, :n] = s["coords"]
+        if stats is not None and s.get("stats") is not None:
+            stats[i] = np.atleast_1d(s["stats"])
+
+    return Batch(pos=pos, x=x, mask=mask, y_reg=y_reg, y_reg_mask=y_reg_mask,
+                 area_idx=area_idx, label_idx=label_idx, is_double=is_double,
+                 coords=coords, stats=stats)

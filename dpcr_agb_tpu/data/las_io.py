@@ -1,0 +1,164 @@
+"""Pure-numpy LAS point-cloud IO (replaces laspy+lazrs used by the reference's
+read_pt, datasets/instance/las_dataset.py:32-71).
+
+Supports LAS 1.1-1.4, point data record formats 0-10 (core fields: XYZ,
+intensity, classification, return info, gps_time where present). Uncompressed
+LAS only — LAZ requires the lazrs codec, which is not in this image; reading a
+.laz raises a clear error. A writer (LAS 1.2, format 1) is provided for
+synthetic fixtures and tests.
+
+CSV/TXT point files are read via pandas, mirroring the reference fallback.
+"""
+from __future__ import annotations
+
+import os
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HEADER_FMT = "<4sHHL HH8sBB32s 32sHHH LLBHL"  # through "offset to point data" block
+
+
+class LasReadError(Exception):
+    pass
+
+
+# offsets of xyz/int/cls/gps within each point record, per point format id
+# (x,y,z are always the first 12 bytes as int32)
+_GPS_OFFSET = {1: 20, 3: 20, 4: 20, 5: 20, 6: 22, 7: 22, 8: 22, 9: 22, 10: 22}
+_CLS_OFFSET = {0: 15, 1: 15, 2: 15, 3: 15, 4: 15, 5: 15,
+               6: 16, 7: 16, 8: 16, 9: 16, 10: 16}
+_MIN_SIZE = {0: 20, 1: 28, 2: 26, 3: 34, 4: 57, 5: 63,
+             6: 30, 7: 36, 8: 38, 9: 59, 10: 67}
+
+
+def read_las(path: str, attributes: Tuple[str, ...] = ()) -> Tuple[np.ndarray, dict]:
+    """Read an uncompressed .las file.
+
+    Returns (pos [N,3] float64, extras dict with requested attribute arrays
+    among {intensity, classification, gps_time, return_number}).
+    """
+    with open(path, "rb") as f:
+        head = f.read(375)
+        if head[:4] != b"LASF":
+            if path.lower().endswith(".laz") or head[:4] == b"LASZ":
+                raise LasReadError(
+                    f"{path}: LAZ-compressed input is not supported in this "
+                    "image (no lazrs codec); decompress to .las first")
+            raise LasReadError(f"{path}: not a LAS file")
+        ver_major, ver_minor = head[24], head[25]
+        offset_to_points = struct.unpack_from("<L", head, 96)[0]
+        point_format = head[104]
+        point_format &= 0x3F  # strip LAZ compressor bits
+        record_len = struct.unpack_from("<H", head, 105)[0]
+        n_points = struct.unpack_from("<L", head, 107)[0]
+        scales = struct.unpack_from("<3d", head, 131)
+        offsets = struct.unpack_from("<3d", head, 155)
+        if ver_major == 1 and ver_minor >= 4:
+            n_points_64 = struct.unpack_from("<Q", head, 247)[0]
+            if n_points_64:
+                n_points = n_points_64
+        if point_format not in _MIN_SIZE:
+            raise LasReadError(f"{path}: unsupported point format {point_format}")
+        if record_len < _MIN_SIZE[point_format]:
+            raise LasReadError(f"{path}: record length {record_len} too small "
+                               f"for format {point_format}")
+        f.seek(offset_to_points)
+        raw = np.frombuffer(f.read(n_points * record_len), dtype=np.uint8)
+        raw = raw.reshape(n_points, record_len)
+
+    xyz_int = raw[:, :12].copy().view("<i4").reshape(n_points, 3)
+    pos = xyz_int.astype(np.float64) * np.asarray(scales) + np.asarray(offsets)
+
+    extras = {}
+    want = set(attributes)
+    if "intensity" in want:
+        extras["intensity"] = raw[:, 12:14].copy().view("<u2").ravel().astype(np.float32)
+    if "return_number" in want:
+        flags = raw[:, 14]
+        if point_format >= 6:
+            extras["return_number"] = (flags & 0x0F).astype(np.float32)
+        else:
+            extras["return_number"] = (flags & 0x07).astype(np.float32)
+    if "classification" in want:
+        off = _CLS_OFFSET[point_format]
+        cls = raw[:, off]
+        if point_format < 6:
+            cls = cls & 0x1F  # low 5 bits in legacy formats
+        extras["classification"] = cls.astype(np.float32)
+    if "gps_time" in want and point_format in _GPS_OFFSET:
+        off = _GPS_OFFSET[point_format]
+        extras["gps_time"] = raw[:, off:off + 8].copy().view("<f8").ravel()
+    return pos, extras
+
+
+def write_las(path: str, pos: np.ndarray,
+              classification: Optional[np.ndarray] = None,
+              intensity: Optional[np.ndarray] = None,
+              scale: float = 0.001) -> None:
+    """Write a minimal LAS 1.2, point-format-1 file."""
+    pos = np.asarray(pos, dtype=np.float64)
+    n = len(pos)
+    offsets = pos.min(axis=0) if n else np.zeros(3)
+    record_len = 28
+    header_size = 227
+    header = bytearray(header_size)
+    header[0:4] = b"LASF"
+    header[24] = 1  # version major
+    header[25] = 2  # version minor
+    struct.pack_into("<31s", header, 26, b"dpcr_agb_tpu synthetic")
+    struct.pack_into("<H", header, 94, header_size)
+    struct.pack_into("<L", header, 96, header_size)   # offset to point data
+    struct.pack_into("<L", header, 100, 0)            # n VLRs
+    header[104] = 1                                    # point format
+    struct.pack_into("<H", header, 105, record_len)
+    struct.pack_into("<L", header, 107, n)
+    struct.pack_into("<3d", header, 131, scale, scale, scale)
+    struct.pack_into("<3d", header, 155, *offsets)
+    mx, mn = (pos.max(axis=0), pos.min(axis=0)) if n else (np.zeros(3),) * 2
+    struct.pack_into("<6d", header, 179, mx[0], mn[0], mx[1], mn[1], mx[2], mn[2])
+
+    rec = np.zeros((n, record_len), dtype=np.uint8)
+    xyz_int = np.round((pos - offsets) / scale).astype("<i4")
+    rec[:, :12] = xyz_int.view(np.uint8).reshape(n, 12)
+    if intensity is not None:
+        rec[:, 12:14] = np.asarray(intensity, dtype="<u2")[:, None].view(
+            np.uint8).reshape(n, 2)
+    rec[:, 14] = 0x09  # return 1 of 1
+    if classification is not None:
+        rec[:, 15] = np.asarray(classification, dtype=np.uint8)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(rec.tobytes())
+
+
+def read_pt(path: str, feature_cols: List[str] = (),
+            delimiter: str = ",") -> Tuple[np.ndarray, Optional[np.ndarray], None]:
+    """Read a point file: .las (numpy reader), .csv/.txt (pandas), .npy/.npz.
+
+    Returns (pos [N,3] float, features [N,F] or None, crs placeholder None) —
+    the same contract as the reference read_pt (las_dataset.py:32-71).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".las", ".laz"):
+        pos, extras = read_las(path, attributes=tuple(feature_cols))
+        feats = None
+        if feature_cols:
+            feats = np.stack([extras[c] for c in feature_cols], axis=1)
+        return pos.astype(np.float32), feats, None
+    if ext in (".csv", ".txt", ".xyz"):
+        import pandas as pd
+        df = pd.read_csv(path, sep=delimiter)
+        cols = {c.lower(): c for c in df.columns}
+        pos = df[[cols["x"], cols["y"], cols["z"]]].values.astype(np.float32)
+        feats = (df[list(feature_cols)].values.astype(np.float32)
+                 if feature_cols else None)
+        return pos, feats, None
+    if ext == ".npz":
+        z = np.load(path)
+        feats = z["features"].astype(np.float32) if "features" in z else None
+        return z["pos"].astype(np.float32), feats, None
+    if ext == ".npy":
+        return np.load(path).astype(np.float32), None, None
+    raise LasReadError(f"Unsupported point file extension: {path}")

@@ -1,0 +1,120 @@
+"""Host-side batch loader: per-sample augmentation (phase B) + fixed-shape
+collate, with threaded prefetch so transform work overlaps device compute —
+the reference runs its per-batch CPU work synchronously (DataLoader workers,
+base_dataset.py:255-267; KPConv's pyramid even ran on the main thread,
+SURVEY.md §3.5).
+
+Determinism: each sample's transform RNG is derived from
+SeedSequence(seed, epoch, position) — a pure function of the run seed, epoch,
+and position in the epoch's index stream, independent of worker scheduling.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+
+from .batch import Batch, CollateSpec, collate
+from .dataset import Las, RandomSampler
+
+
+class Loader:
+    def __init__(self, dataset: Las, transform: Callable, batch_size: int,
+                 spec: CollateSpec, shuffle: bool = False,
+                 double_batch: bool = False, drop_last: bool = True,
+                 seed: int = 0, num_workers: int = 4, prefetch: int = 2,
+                 post_collate: Optional[Callable] = None):
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = batch_size
+        self.spec = spec
+        self.shuffle = shuffle
+        self.double_batch = double_batch
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.post_collate = post_collate
+        self.sampler = RandomSampler(len(dataset), batch_size, double_batch) \
+            if shuffle else None
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        if self.sampler is not None:
+            rng = np.random.default_rng(
+                np.random.SeedSequence(entropy=self.seed,
+                                       spawn_key=(epoch, 0)))
+            return self.sampler.indices(rng)
+        idx = np.arange(len(self.dataset))
+        if self.drop_last and len(idx) >= self.batch_size:
+            idx = idx[:(len(idx) // self.batch_size) * self.batch_size]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.double_batch and self.shuffle:
+            n *= 2
+        if self.drop_last or self.shuffle:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_sample(self, epoch: int, position: int, idx: int,
+                     is_double: bool) -> dict:
+        sample = self.dataset.get(int(idx))
+        sample["is_double"] = is_double
+        rng = np.random.default_rng(
+            np.random.SeedSequence(entropy=self.seed,
+                                   spawn_key=(epoch, position + 1)))
+        return self.transform(rng, sample)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        indices = self._epoch_indices(epoch)
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if not batches:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for bi, batch_idx in enumerate(batches):
+                        if stop.is_set():
+                            break
+                        doubles = np.zeros(len(batch_idx), dtype=bool)
+                        doubles[1:] = batch_idx[1:] == batch_idx[:-1]
+                        samples = list(pool.map(
+                            lambda t: self._make_sample(epoch, *t),
+                            [(bi * self.batch_size + j, batch_idx[j], doubles[j])
+                             for j in range(len(batch_idx))]))
+                        b = collate(samples, self.spec)
+                        if self.post_collate is not None:
+                            b = self.post_collate(b)
+                        q.put(b)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5)

@@ -1,0 +1,190 @@
+"""End-to-end data-layer tests: LAS IO, gpkg IO, synthetic generation, dataset
+processing/caching, stats, loader + fixed-shape collate."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from dpcr_agb_tpu.config import Cfg
+from dpcr_agb_tpu.data import (Batch, CollateSpec, Loader, RandomSampler,
+                               bucket_size, collate, generate_nfi_like_dataset,
+                               instantiate_dataset, read_las, write_las)
+from dpcr_agb_tpu.visualization import read_gpkg, write_gpkg
+
+
+def test_las_roundtrip(tmp_path, rng):
+    pos = rng.random((500, 3)) * 100 + np.array([5e5, 6e6, 50])
+    cls = rng.integers(1, 6, 500)
+    path = str(tmp_path / "t.las")
+    write_las(path, pos, classification=cls)
+    pos2, extras = read_las(path, attributes=("classification",))
+    np.testing.assert_allclose(pos2, pos, atol=1e-3)
+    np.testing.assert_array_equal(extras["classification"], cls)
+
+
+def test_gpkg_roundtrip(tmp_path, rng):
+    df = pd.DataFrame({
+        "x": rng.random(10) * 1000, "y": rng.random(10) * 1000,
+        "BMag_ha": rng.random(10) * 300, "name": [f"p{i}" for i in range(10)],
+    })
+    path = str(tmp_path / "t.gpkg")
+    write_gpkg(path, df, layer="nfi")
+    out = read_gpkg(path)
+    np.testing.assert_allclose(out["x"].values, df["x"].values, rtol=1e-12)
+    np.testing.assert_allclose(out["BMag_ha"].values, df["BMag_ha"].values)
+    assert list(out["name"]) == list(df["name"])
+    # append mode
+    write_gpkg(path, df, layer="nfi", append=True)
+    assert len(read_gpkg(path)) == 20
+
+
+def test_bucket_and_collate(rng):
+    assert bucket_size(1000, minimum=512) == 1024
+    assert bucket_size(100, minimum=512) == 512
+    samples = []
+    for n in (700, 300):
+        samples.append({
+            "pos": rng.random((n, 3)).astype(np.float32),
+            "x": rng.random((n, 3)).astype(np.float32),
+            "coords": rng.integers(0, 90, (n, 3)).astype(np.int32),
+            "y_reg": np.array([1.0, np.nan], np.float32),
+            "y_reg_mask": np.array([True, False]),
+            "area_idx": 0, "label_idx": n,
+        })
+    b = collate(samples, CollateSpec(conv_type="sparse", use_coords=True,
+                                     min_bucket=512))
+    assert b.pos.shape == (2, 1024, 3)
+    assert b.mask.sum(1).tolist() == [700, 300]
+    assert b.coords[1, 300:].max() < 0  # PAD_COORD sentinel
+    assert np.isnan(b.y_reg[0, 1])
+    assert b.y_reg_mask[0].tolist() == [True, False]
+
+
+def test_random_sampler_double_batch():
+    s = RandomSampler(10, batch_size=4, double_batch=True)
+    idx = s.indices(np.random.default_rng(0))
+    assert len(idx) == 20
+    assert (idx[0::2] == idx[1::2]).all()  # consecutive duplicates
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("nfi"))
+    generate_nfi_like_dataset(root, n_plots=14, seed=1, label_format="gpkg")
+    return root
+
+
+def _dataset_cfg(root):
+    return Cfg({
+        "dataroot": root, "dataset_name": "", "task": "instance",
+        "transform_type": "tiny",
+        "areas": {"NFI": {"type": "object",
+                          "pt_files": ["plots/*.las"],
+                          "label_files": "nfi.gpkg",
+                          "pt_identifier": "las_file",
+                          "val_ratio": 0.2, "test_ratio": 0.2}},
+        "xy_radius": 15, "in_memory": True, "min_pts_outer": 50,
+        "min_pts_inner": 0,
+        "skip_list": ["y_reg", "y_reg_mask"],
+        "features": [], "stats": [],
+        "targets": {"BMag_ha": {"task": "regression", "weight": 0.5},
+                    "V_ha": {"task": "regression", "weight": 0.5}},
+        "processed_folder": "processed_test",
+        "pre_transform": [
+            {"transform": "StartZFromZero"},
+            {"transform": "ZFilter",
+             "params": {"z_min": -1e-5, "z_max": 50,
+                        "skip_keys": ["y_reg", "y_reg_mask"]}},
+        ],
+        "tiny": {
+            "train_transform": [
+                {"transform": "ScalePos",
+                 "params": {"scale_x": 30, "scale_y": 30, "scale_z": 40,
+                            "op": "div"}},
+                {"transform": "MoveCenterPosPerSample",
+                 "params": {"center_x": 0.5, "center_y": 0.5}},
+                {"transform": "StartZFromZero"},
+                {"transform": "MaxPoints", "params": {"num": 2048}},
+                {"transform": "XYZFeature", "params": {"add_z": True}},
+                {"transform": "AddOnes"},
+                {"transform": "AddFeatsByKeys",
+                 "params": {"list_add_to_x": [True, True],
+                            "feat_names": ["ones", "pos_z"],
+                            "delete_feats": [True, True]}},
+            ],
+            "test_transform": [
+                {"transform": "ScalePos",
+                 "params": {"scale_x": 30, "scale_y": 30, "scale_z": 40,
+                            "op": "div"}},
+                {"transform": "MoveCenterPosPerSample",
+                 "params": {"center_x": 0.5, "center_y": 0.5}},
+                {"transform": "StartZFromZero"},
+                {"transform": "MaxPoints", "params": {"num": 2048}},
+                {"transform": "XYZFeature", "params": {"add_z": True}},
+                {"transform": "AddOnes"},
+                {"transform": "AddFeatsByKeys",
+                 "params": {"list_add_to_x": [True, True],
+                            "feat_names": ["ones", "pos_z"],
+                            "delete_feats": [True, True]}},
+            ],
+        },
+    })
+
+
+def test_dataset_end_to_end(synth_root):
+    ds = instantiate_dataset(_dataset_cfg(synth_root))
+    # seed-42 split: 14 plots -> train/val/test all non-empty
+    assert ds.train_dataset is not None and len(ds.train_dataset) > 0
+    assert ds.val_dataset is not None and ds.test_dataset is not None
+    # raw cached samples: centered pos, finite targets
+    s = ds.train_dataset.get(0)
+    assert s["pos"].shape[1] == 3
+    assert abs(float(s["pos"][:, 0].mean())) < 15  # centered near plot center
+    assert s["pos"][:, 2].min() >= -1e-5  # pre_transform StartZFromZero+ZFilter
+    assert s["y_reg"].shape == (2,) and np.isfinite(s["y_reg"]).all()
+    # stats
+    means = ds.get_mean_targets()
+    assert "total" in means and "train" in means["total"]
+    assert means["total"]["train"].shape == (2,)
+    # feature dimension from transformed sample: [ones, pos_z]
+    assert ds.feature_dimension == 2
+    # tracker integration
+    tr = ds.get_tracker(wandb_log=False, tensorboard_log=False)
+    assert tr is not None
+
+
+def test_dataset_cache_reload(synth_root):
+    # second instantiation must hit the done.flag cache path
+    ds = instantiate_dataset(_dataset_cfg(synth_root))
+    assert len(ds.train_dataset) > 0
+    s = ds.train_dataset.get(0)
+    assert s["pos"].dtype == np.float32
+
+
+def test_loader_fixed_shapes(synth_root):
+    ds = instantiate_dataset(_dataset_cfg(synth_root))
+    loader = Loader(ds.train_dataset, ds.train_transform, batch_size=4,
+                    spec=CollateSpec(num_points=2048), shuffle=True,
+                    seed=3, num_workers=2)
+    shapes = set()
+    n_batches = 0
+    for b in loader.epoch(0):
+        assert isinstance(b, Batch)
+        shapes.add(b.pos.shape)
+        assert b.x.shape == (4, 2048, 2)
+        assert b.mask.any(axis=1).all()
+        n_batches += 1
+    assert n_batches == len(loader) > 0
+    assert len(shapes) == 1  # static shape across the epoch
+
+
+def test_loader_determinism(synth_root):
+    ds = instantiate_dataset(_dataset_cfg(synth_root))
+    def run():
+        loader = Loader(ds.train_dataset, ds.train_transform, batch_size=4,
+                        spec=CollateSpec(num_points=2048), shuffle=True,
+                        seed=11, num_workers=3)
+        return [np.asarray(b.pos).copy() for b in loader.epoch(epoch=2)]
+    a, b = run(), run()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
