@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures steady-state training throughput (forward + loss + backward +
+AdaBelief update, the full optimize_parameters equivalent) of the flagship
+MSENet14 sparse-voxel model on NFI-shaped synthetic batches: batch 32 plots,
+16000-voxel cap, 3 input channels, 2 regression targets — the paper's
+training configuration (conf/training/nfi/minkowski.yaml: bs 32).
+
+vs_baseline: the reference publishes NO throughput numbers (BASELINE.md).
+We normalize against a documented estimate of the reference pipeline on an
+A100: ~100 plots/s (batch 32 in ~0.32 s including its per-batch host
+preprocessing; MinkowskiEngine sparse convs + DataLoader transforms).
+vs_baseline = plots_per_sec / 100.0. Revisit when a measured GPU baseline
+exists.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import optax
+
+    from __graft_entry__ import _example_batch, _flagship
+    from dpcr_agb_tpu.models.base import InstanceSpec
+    from dpcr_agb_tpu.training.optim import adabelief, cosine_annealing_warm_restarts
+    from dpcr_agb_tpu.training.step import StepRunner
+
+    bs, n_voxels = 32, 16000
+    net = _flagship()
+    spec = InstanceSpec(
+        num_reg_targets=2, scale=np.array([50.0, 80.0], np.float32),
+        center=np.array([100.0, 150.0], np.float32),
+        weights=np.array([0.5, 0.5], np.float32))
+    tx = optax.chain(
+        optax.clip(100.0),
+        adabelief(cosine_annealing_warm_restarts(5e-3, 10, 2),
+                  weight_decay=1e-2))
+    runner = StepRunner(net=net, spec=spec, tx=tx, mesh=None, seed=0)
+    batch = _example_batch(bs=bs, n_voxels=n_voxels)
+    state = runner.init_state(batch)
+
+    # warmup (compile + 2 steps)
+    for _ in range(3):
+        state, out = runner.train(state, batch)
+    jax.block_until_ready(out["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, out = runner.train(state, batch)
+    jax.block_until_ready(out["loss"])
+    dt = time.perf_counter() - t0
+
+    plots_per_sec = bs * n_steps / dt
+    print(json.dumps({
+        "metric": "train_throughput_msenet14_nfi",
+        "value": round(plots_per_sec, 2),
+        "unit": "plots/sec/chip",
+        "vs_baseline": round(plots_per_sec / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -240,7 +240,22 @@ def _read_yaml(path: str) -> Tuple[Dict[str, Any], Optional[str]]:
         content = {}
     if not isinstance(content, dict):
         raise ValueError(f"Top-level YAML must be a mapping: {path}")
+    # YAML 1.1 reads "1e-2" (no dot/sign-exponent) as a string; OmegaConf
+    # coerces — match that so the reference's config grammar works verbatim
+    content = _coerce_numbers(content)
+    # keys starting with "_" are file-local anchor scaffolding, not config
+    content = {k: v for k, v in content.items() if not str(k).startswith("_")}
     return content, package
+
+
+def _coerce_numbers(node: Any) -> Any:
+    if isinstance(node, dict):
+        return {k: _coerce_numbers(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_coerce_numbers(v) for v in node]
+    if isinstance(node, str) and _FLOAT_RE.match(node):
+        return float(node)
+    return node
 
 
 def _set_path(tree: Dict[str, Any], dotted: str, value: Dict[str, Any]) -> None:

@@ -230,6 +230,13 @@ class LasDataset:
         self.stats_cols = list(get("stats", []) or [])
         self.xy_radius = get("xy_radius", 15)
         self.transform_type = dataset_opt["transform_type"]
+        if self.transform_type not in dataset_opt:
+            presets = [k for k in dataset_opt.keys()
+                       if isinstance(get(k), (dict, type(dataset_opt)))
+                       and "train_transform" in (get(k) or {})]
+            raise ValueError(
+                f"Unknown transform_type {self.transform_type!r}. "
+                f"Available presets: {sorted(presets)}")
         tt_cfg = _plain(get(self.transform_type, {}) or {})
         self.double_batch = tt_cfg.get("double_batch", False)
         self.log_train_metrics = get("log_train_metrics", True)
@@ -245,8 +252,11 @@ class LasDataset:
             tt_cfg.get("val_transform", tt_cfg.get("test_transform")))
         self.test_transform = instantiate_transforms(tt_cfg.get("test_transform"))
 
+        # null area values are deletions (e.g. a synthetic config dropping the
+        # inherited NFI area)
         self.areas: "OrderedDict[str, dict]" = OrderedDict(
-            _plain(dataset_opt["areas"]))
+            (k, v) for k, v in _plain(dataset_opt["areas"]).items()
+            if v is not None)
         self._process_area_labels()
 
         in_memory = get("in_memory", False)
@@ -444,8 +454,18 @@ def _plain(obj):
 
 def instantiate_dataset(dataset_opt) -> LasDataset:
     """Reflection factory (reference datasets/dataset_factory.py:11-48). Only
-    LasDataset exists today; the class path string is honored for parity."""
+    LasDataset exists today; the class path string is honored for parity.
+    `synthetic: true` configs auto-generate an NFI-like dataset on first use
+    (the MockDataset replacement, SURVEY.md §4)."""
     cls_path = dataset_opt.get("class", "las_dataset.LasDataset")
     if not str(cls_path).endswith("LasDataset"):
         raise ValueError(f"Unknown dataset class: {cls_path}")
+    if dataset_opt.get("synthetic", False):
+        root = os.path.join(dataset_opt.get("dataroot", "data"),
+                            dataset_opt.get("dataset_name", "synthetic"))
+        if not os.path.exists(os.path.join(root, "raw", "nfi.gpkg")):
+            from .synthetic import generate_nfi_like_dataset
+            n = int(dataset_opt.get("synthetic_plots", 64))
+            log.info(f"Generating synthetic NFI-like dataset ({n} plots) at {root}")
+            generate_nfi_like_dataset(root, n_plots=n)
     return LasDataset(dataset_opt)

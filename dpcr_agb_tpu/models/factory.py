@@ -1,0 +1,108 @@
+"""Model factory (reference models/model_factory.py:7-44 + the per-model
+`class:` strings in conf/models/instance/*.yaml).
+
+`instantiate_model(models_cfg, model_name, dataset)` returns a ModelBundle:
+the flax module (callable as net(batch, train)), the InstanceSpec loss
+config, and loader/collate policy — everything the trainer needs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+from ..data.batch import CollateSpec
+from .base import InstanceSpec, build_instance_spec
+from .pointnet import MPointNet
+from .simplestnet import SimplestNet
+
+# class-string -> builder(option, dataset, bn_axis_name) -> (module, conv_type)
+_BUILDERS: Dict[str, Callable] = {}
+
+
+def register_builder(class_str: str):
+    def wrap(fn):
+        _BUILDERS[class_str] = fn
+        return fn
+    return wrap
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    name: str
+    net: Any                      # flax module: net(batch, train=...)
+    spec: InstanceSpec
+    conv_type: str
+    collate: CollateSpec
+    option: Any                   # resolved model config entry
+    head_namespace: str = "final"
+    head_optim_settings: dict = dataclasses.field(default_factory=dict)
+    backbone_optim_settings: dict = dataclasses.field(default_factory=dict)
+
+
+@register_builder("minkowski.MinkowskiBaselineModel")
+def _build_minkowski(option, dataset, bn_axis_name):
+    name = option["model_name"]
+    kwargs = dict(
+        num_reg_targets=dataset.num_reg_classes,
+        activation=option.get("activation", "relu"),
+        global_pool=option.get("global_pool", "mean"),
+        dropout=option.get("dropout", 0.0),
+        bn_momentum=option.get("bn_momentum", 0.1),
+        bn_axis_name=bn_axis_name,
+    )
+    if name == "MinkowskiPointNet":
+        return MPointNet(add_pos=option.get("add_pos", False), **kwargs), "SPARSE"
+    from .minkowski import build_resnet  # deferred: sparse engine
+    return build_resnet(name, option, dataset, bn_axis_name), "SPARSE"
+
+
+@register_builder("simplestnet.SimplestNet")
+def _build_simplest(option, dataset, bn_axis_name):
+    return SimplestNet(num_reg_targets=dataset.num_reg_classes,
+                       bn_axis_name=bn_axis_name), "PARTIAL_DENSE"
+
+
+@register_builder("kpconv.KPConv")
+def _build_kpconv(option, dataset, bn_axis_name):
+    from .kpconv import build_kpconv
+    return build_kpconv(option, dataset, bn_axis_name), "PARTIAL_DENSE"
+
+
+def _collate_spec(conv_type: str, option, dataset) -> CollateSpec:
+    dataset_opt = getattr(dataset, "dataset_opt", {})
+    get = dataset_opt.get if hasattr(dataset_opt, "get") else dict(dataset_opt).get
+    if conv_type == "SPARSE":
+        return CollateSpec(conv_type="sparse", use_coords=True,
+                           min_bucket=int(get("min_bucket", 1024)))
+    fixed = get("fixed", None)
+    num_points = None
+    if fixed is not None:
+        num_points = fixed.get("num_points") if hasattr(fixed, "get") \
+            else fixed["num_points"]
+    if option.get("num_points"):
+        num_points = option["num_points"]
+    return CollateSpec(conv_type="dense", num_points=num_points,
+                       min_bucket=int(get("min_bucket", 1024)))
+
+
+def instantiate_model(models_cfg, model_name: str, dataset,
+                      bn_axis_name: Optional[str] = "data") -> ModelBundle:
+    if model_name not in models_cfg:
+        raise ValueError(f"Model {model_name!r} not found in models config. "
+                         f"Available: {sorted(models_cfg)}")
+    option = models_cfg[model_name]
+    class_str = option["class"]
+    if class_str not in _BUILDERS:
+        raise ValueError(f"Unknown model class: {class_str}. "
+                         f"Known: {sorted(_BUILDERS)}")
+    net, conv_type = _BUILDERS[class_str](option, dataset, bn_axis_name)
+    conv_type = option.get("conv_type", conv_type)
+    spec = build_instance_spec(dataset, option)
+    return ModelBundle(
+        name=model_name, net=net, spec=spec, conv_type=conv_type,
+        collate=_collate_spec(conv_type, option, dataset), option=option,
+        head_namespace=option.get("head_namespace", "final"),
+        head_optim_settings=dict(option.get("head_optim_settings", {}) or {}),
+        backbone_optim_settings=dict(option.get("backbone_optim_settings", {})
+                                     or {}),
+    )

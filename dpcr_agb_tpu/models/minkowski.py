@@ -1,0 +1,330 @@
+"""Sparse-voxel ResNet/SENet family (the paper's MSENet14/50 rows) on the
+TPU-native voxel engine — behavioral port of
+modules/MinkowskiEngine/{SENet.py:14-194, resnet_block.py:31-133,
+senet_block.py:33-147} wrapped by models/instance/minkowski.py:29-89.
+
+Architecture (SENet.py): stem ConvNormAct(k=7, stride=first_stride) +
+MaxPool(k=3,s=2), 4 stages with strides (1,2,2,2) of Basic/Bottleneck blocks
+(SE variants add squeeze-excite before the residual add), masked global pool
+{sum,mean,max}, optional dropout, SeparateLinear head. gelu activations,
+DropPath stochastic depth, trunc_normal(0.02) init, BN(momentum cfg).
+
+TPU formulation: all resolution levels and kernel maps are computed once per
+forward from the quantized coords (sort + binary search, ops/voxel.py), then
+every conv is gather+matmul on the MXU. Shapes are static: level v-caps
+default to decreasing fractions of the input cap and can be overridden with
+`extra_options.level_caps`.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..nn.blocks import ACTIVATIONS, Dropout, DropPath, SELayer, SeparateLinear
+from ..nn.init import trunc_normal
+from ..nn.norm import MaskedBatchNorm, MaskedLayerNorm
+from ..ops.masked import GLOBAL_POOL
+from ..ops.voxel import (VoxelGrid, build_grid, downsample, hypercube_offsets,
+                         kernel_map, max_pool_apply, sparse_conv_apply)
+
+DEFAULT_LEVEL_FRACS = (1.0, 0.75, 0.4, 0.2, 0.1, 0.05, 0.03)
+
+
+def _round8(n: int) -> int:
+    return max(8, int(-(-n // 8) * 8))
+
+
+def build_levels(coords: jnp.ndarray, mask: jnp.ndarray, n_levels: int,
+                 caps: Sequence[int]) -> list:
+    """Per-batch resolution pyramid: level l has unit coords at tensor stride
+    2^l. Returns [n_levels] of batched VoxelGrids (leaves shaped [B, ...])."""
+    grids = [jax.vmap(build_grid)(coords, mask)]
+    for l in range(1, n_levels):
+        ds = jax.vmap(lambda g: downsample(g, None, 2, caps[l])[0])
+        grids.append(ds(grids[l - 1]))
+    return grids
+
+
+def batched_kernel_map(in_grid, out_grid, offsets: np.ndarray,
+                       stride: int) -> jnp.ndarray:
+    offs = jnp.asarray(offsets)
+    return jax.vmap(lambda gi, go: kernel_map(gi, go, offs, stride))(
+        in_grid, out_grid)
+
+
+class SparseConv(nn.Module):
+    """Minkowski-style sparse convolution over precomputed neighbor maps."""
+    features: int
+    kernel_volume: int            # K = kernel_size**3 (1 for pointwise)
+    use_bias: bool = True
+    offset_chunk: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, nbr_idx: Optional[jnp.ndarray]):
+        """x [B,V_in,C]; nbr_idx [B,K,V_out] or None for pointwise k=1 s=1."""
+        cin = x.shape[-1]
+        kernel = self.param("kernel", trunc_normal(0.02),
+                            (self.kernel_volume, cin, self.features))
+        if nbr_idx is None:  # kernel 1, stride 1: plain matmul
+            y = jnp.dot(x.astype(self.dtype), kernel[0].astype(self.dtype),
+                        preferred_element_type=jnp.float32)
+        else:
+            conv = jax.vmap(lambda f, idx: sparse_conv_apply(
+                f, idx, kernel.astype(self.dtype),
+                offset_chunk=self.offset_chunk))
+            y = conv(x.astype(self.dtype), nbr_idx)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+def make_norm(norm_type: str, features: int, bn_momentum: float,
+              axis_name=None, name=None):
+    if norm_type == "bn":
+        return MaskedBatchNorm(features, momentum=bn_momentum,
+                               axis_name=axis_name, name=name)
+    if norm_type == "bn_no_affine":
+        return MaskedBatchNorm(features, momentum=bn_momentum, affine=False,
+                               axis_name=axis_name, name=name)
+    if norm_type == "ln":
+        return MaskedLayerNorm(features, name=name)
+    raise NotImplementedError(f"norm_type={norm_type!r} (bn, bn_no_affine, ln)")
+
+
+class ResBlock(nn.Module):
+    """BasicBlock / Bottleneck (+SE) over one (or two) resolution levels."""
+    planes: int
+    bottleneck: bool
+    se: bool
+    act_name: str = "gelu"
+    stride: int = 1
+    drop_path: float = 0.0
+    use_bias: bool = True
+    bn_momentum: float = 0.1
+    norm_type: str = "bn"
+    bn_axis_name: Any = None
+    se_reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @property
+    def expansion(self) -> int:
+        return 4 if self.bottleneck else 1
+
+    @nn.compact
+    def __call__(self, x, in_mask, out_mask, k3_map, k3_out_map, k1_map,
+                 train: bool):
+        """k3_map [B,27,V_out]: the (possibly strided) in->out 3^3 map used by
+        the block's first 3^3 conv. k3_out_map: stride-1 3^3 map at the output
+        level (== k3_map when stride==1) for the BasicBlock's second conv.
+        k1_map [B,1,V_out]: strided pointwise map for the shortcut (None when
+        stride==1)."""
+        act = ACTIVATIONS[self.act_name]
+        exp = self.planes * self.expansion
+        need_proj = self.stride != 1 or x.shape[-1] != exp
+
+        def norm(feats, width, name):
+            return make_norm(self.norm_type, width, self.bn_momentum,
+                             self.bn_axis_name, name=name)(
+                feats, out_mask, use_running_average=not train)
+
+        if self.bottleneck:
+            out = SparseConv(self.planes, 1, self.use_bias, dtype=self.dtype,
+                             name="conv1")(x, None)
+            out = make_norm(self.norm_type, self.planes, self.bn_momentum,
+                            self.bn_axis_name, name="norm1")(
+                out, in_mask, use_running_average=not train)
+            out = act(out)
+            out = SparseConv(self.planes, 27, self.use_bias, dtype=self.dtype,
+                             name="conv2")(out, k3_map)
+            out = norm(out, self.planes, "norm2")
+            out = act(out)
+            out = SparseConv(exp, 1, self.use_bias, dtype=self.dtype,
+                             name="conv3")(out, None)
+            out = norm(out, exp, "norm3")
+        else:
+            out = SparseConv(self.planes, 27, self.use_bias, dtype=self.dtype,
+                             name="conv1")(x, k3_map)
+            out = norm(out, self.planes, "norm1")
+            out = act(out)
+            out = SparseConv(self.planes, 27, self.use_bias, dtype=self.dtype,
+                             name="conv2")(out, k3_out_map)
+            out = norm(out, self.planes, "norm2")
+
+        if self.se:
+            out = SELayer(exp if self.bottleneck else self.planes, act,
+                          self.se_reduction, name="se")(out, out_mask)
+
+        residual = x
+        if need_proj:
+            residual = SparseConv(exp, 1, self.use_bias, dtype=self.dtype,
+                                  name="downsample_conv")(
+                x, k1_map if self.stride != 1 else None)
+            residual = norm(residual, exp, "downsample_norm")
+
+        out = DropPath(self.drop_path, name="drop_path")(
+            out, deterministic=not train) + residual
+        out = act(out)
+        return jnp.where(out_mask[..., None], out, 0.0)
+
+
+class SparseResNet(nn.Module):
+    """ResNetBase (SENet.py:14-118) on the voxel engine."""
+    num_reg_targets: int
+    block: str                     # basic | bottleneck | se_basic | se_bottleneck
+    layers: Sequence[int]
+    strides: Sequence[int] = (1, 2, 2, 2)
+    planes: Sequence[int] = (64, 128, 256, 512)
+    init_dim: int = 64
+    activation: str = "gelu"
+    first_stride: int = 1
+    global_pool: str = "sum"
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    bn_momentum: float = 0.1
+    norm_type: str = "bn"
+    use_bias: bool = True
+    level_caps: Optional[Sequence[int]] = None
+    bn_axis_name: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        if batch.coords is None:
+            raise ValueError("SparseResNet requires quantized coords "
+                             "(use a sparse transform preset)")
+        coords, mask = batch.coords, batch.mask
+        x = batch.x.astype(self.dtype)
+        bottleneck = "bottleneck" in self.block
+        se = self.block.startswith("se")
+        act = ACTIVATIONS[self.activation]
+
+        # ---- resolution pyramid + kernel maps (no params) ----
+        n_down = sum(1 for s in self.strides if s != 1) + 1  # + stem pool
+        if self.first_stride != 1:
+            n_down += 1
+        n_levels = n_down + 1
+        v0 = coords.shape[1]
+        if self.level_caps is not None:
+            caps = list(self.level_caps)
+        else:
+            caps = [_round8(int(v0 * DEFAULT_LEVEL_FRACS[min(
+                l, len(DEFAULT_LEVEL_FRACS) - 1)])) for l in range(n_levels)]
+        grids = build_levels(coords, mask, n_levels, caps)
+
+        off27 = hypercube_offsets(3)
+        off343 = hypercube_offsets(7)
+        off1 = hypercube_offsets(1)
+
+        level = 0
+        # ---- stem: conv k7 stride first_stride + norm + act + maxpool k3 s2
+        if self.first_stride == 1:
+            stem_map = batched_kernel_map(grids[0], grids[0], off343, 1)
+            stem_out_level = 0
+        else:
+            stem_map = batched_kernel_map(grids[0], grids[1], off343, 2)
+            stem_out_level = 1
+        h = SparseConv(self.init_dim, off343.shape[0], self.use_bias,
+                       dtype=self.dtype, name="stem_conv")(x, stem_map)
+        level = stem_out_level
+        h = make_norm(self.norm_type, self.init_dim, self.bn_momentum,
+                      self.bn_axis_name, name="stem_norm")(
+            h, grids[level].mask, use_running_average=not train)
+        h = act(h)
+        pool_map = batched_kernel_map(grids[level], grids[level + 1], off27, 2)
+        h = jax.vmap(max_pool_apply)(h, pool_map, grids[level + 1].mask)
+        level += 1
+
+        # ---- stages ----
+        s1_maps = {}  # level -> stride-1 3^3 map, shared by same-level convs
+
+        def get_s1(lv):
+            if lv not in s1_maps:
+                s1_maps[lv] = batched_kernel_map(grids[lv], grids[lv], off27, 1)
+            return s1_maps[lv]
+
+        for si, (planes, n_blocks, stride) in enumerate(
+                zip(self.planes, self.layers, self.strides)):
+            for bi in range(n_blocks):
+                s = stride if bi == 0 else 1
+                in_mask = grids[level].mask
+                if s != 1:
+                    k3 = batched_kernel_map(grids[level], grids[level + 1],
+                                            off27, 2)
+                    k1 = batched_kernel_map(grids[level], grids[level + 1],
+                                            off1, 2)
+                    level += 1
+                    k3_out = get_s1(level)
+                else:
+                    k3 = get_s1(level)
+                    k3_out = k3
+                    k1 = None
+                h = ResBlock(planes=planes, bottleneck=bottleneck, se=se,
+                             act_name=self.activation, stride=s,
+                             drop_path=self.drop_path, use_bias=self.use_bias,
+                             bn_momentum=self.bn_momentum,
+                             norm_type=self.norm_type,
+                             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                             name=f"stage{si}_block{bi}")(
+                    h, in_mask, grids[level].mask, k3, k3_out, k1, train)
+
+        # ---- head ----
+        g = GLOBAL_POOL[self.global_pool](h.astype(jnp.float32),
+                                          grids[level].mask)
+        g = Dropout(self.dropout)(g, deterministic=not train)
+        return SeparateLinear(self.num_reg_targets, name="final")(g)
+
+
+_ARCHS = {
+    # name -> (block, layers)
+    "ResNet14_": ("basic", (1, 1, 1, 1)),
+    "ResNet18_": ("basic", (2, 2, 2, 2)),
+    "ResNet34_": ("basic", (3, 4, 6, 3)),
+    "ResNet50_": ("bottleneck", (3, 4, 6, 3)),
+    "ResNet101_": ("bottleneck", (3, 4, 23, 3)),
+    "SENet14": ("se_basic", (1, 1, 1, 1)),
+    "SENet18": ("se_basic", (2, 2, 2, 2)),
+    "SENet34": ("se_basic", (3, 4, 6, 3)),
+    "SENet50": ("se_bottleneck", (3, 4, 6, 3)),
+    "SENet101": ("se_bottleneck", (3, 4, 23, 3)),
+}
+
+_ARCH_EXTRAS = {
+    # SENet17 variants (SENet.py:155-169)
+    "SENet17_6deep": dict(block="se_basic", layers=(1, 1, 1, 1, 2, 1),
+                          strides=(1, 2, 2, 2, 2, 2), init_dim=32,
+                          planes=(32, 64, 128, 256, 512, 1024)),
+    "SENet17_5deep": dict(block="se_basic", layers=(1, 1, 1, 2, 2),
+                          strides=(1, 2, 2, 2, 2), init_dim=64,
+                          planes=(64, 128, 256, 512, 1024)),
+}
+
+
+def build_resnet(arch_name: str, option, dataset, bn_axis_name=None):
+    extra = dict(option.get("extra_options", {}) or {})
+    common = dict(
+        num_reg_targets=dataset.num_reg_classes,
+        activation=option.get("activation", "relu"),
+        first_stride=int(option.get("first_stride", 2)),
+        global_pool=option.get("global_pool", "mean"),
+        dropout=float(option.get("dropout", 0.0)),
+        drop_path=float(option.get("drop_path", 0.0)),
+        bn_momentum=float(option.get("bn_momentum", 0.1)),
+        norm_type=option.get("norm_type", "bn"),
+        use_bias=bool(option.get("bias", True)),
+        level_caps=extra.get("level_caps"),
+        bn_axis_name=bn_axis_name,
+        dtype=jnp.bfloat16 if extra.get("bf16", False) else jnp.float32,
+    )
+    if arch_name in _ARCHS:
+        block, layers = _ARCHS[arch_name]
+        return SparseResNet(block=block, layers=layers, **common)
+    if arch_name in _ARCH_EXTRAS:
+        return SparseResNet(**{**common, **_ARCH_EXTRAS[arch_name]})
+    raise ValueError(f"Unknown minkowski arch: {arch_name}. "
+                     f"Known: {sorted(_ARCHS) + sorted(_ARCH_EXTRAS)}")

@@ -1,0 +1,224 @@
+"""Train state + single-file checkpointing with the reference's semantics
+(metrics/model_checkpoint.py:24-375):
+
+  * one file per model name holding models{latest, best_<metric>}, per-stage
+    stats history, optimizer state, scheduler config, run_config, and
+    dataset_properties
+  * best_<metric> tracked for metrics containing "total_"/"loss_", compared
+    by the tracker's metric funcs, weights updated only on the selection stage
+  * models can be re-created from the checkpoint alone (run_config +
+    dataset_properties)
+
+Serialization: flax msgpack over a nested dict of numpy arrays / scalars /
+strings (the orbax-shaped logical contents of SURVEY.md §5.4 without the
+directory-per-step layout — single-host friendly and wandb-uploadable).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+from flax.core import freeze, unfreeze
+
+log = logging.getLogger(__name__)
+
+_LATEST = "latest"
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: int = 0            # optimizer updates so far (num_batches)
+    epoch: int = 0
+    num_samples: int = 0
+
+    def model_state(self) -> Dict[str, Any]:
+        return {"params": jax.device_get(self.params),
+                "batch_stats": jax.device_get(self.batch_stats)}
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+class Checkpoint:
+    """In-memory checkpoint contents + (de)serialization."""
+
+    def __init__(self, run_config: Optional[dict] = None,
+                 dataset_properties: Optional[dict] = None):
+        self.models: Dict[str, Any] = {}
+        self.stats: Dict[str, List[dict]] = {"train": [], "val": [], "test": []}
+        self.optimizer: Optional[tuple] = None           # (name, state)
+        self.schedulers: Dict[str, Any] = {}
+        self.run_config = run_config or {}
+        self.dataset_properties = dataset_properties or {}
+
+    # --- io -------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        payload = {
+            "models": _to_host(self.models),
+            "stats": self.stats,
+            "optimizer": {"name": self.optimizer[0],
+                          "state": _to_host(self.optimizer[1])}
+            if self.optimizer else {},
+            "schedulers": self.schedulers,
+            "run_config": self.run_config,
+            "dataset_properties": self.dataset_properties,
+        }
+        return serialization.msgpack_serialize(_msgpack_safe(payload))
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Checkpoint":
+        payload = serialization.msgpack_restore(data)
+        ckpt = cls(payload.get("run_config"), payload.get("dataset_properties"))
+        ckpt.models = unfreeze(freeze(payload.get("models", {})))
+        ckpt.stats = {k: list(v) for k, v in payload.get("stats", {}).items()}
+        opt = payload.get("optimizer") or {}
+        if opt:
+            ckpt.optimizer = (opt.get("name"), opt.get("state"))
+        ckpt.schedulers = payload.get("schedulers", {})
+        return ckpt
+
+    @property
+    def start_epoch(self) -> int:
+        return len(self.stats.get("train", [])) + 1
+
+    def get_model_state(self, weight_name: str = _LATEST):
+        key = weight_name if weight_name in self.models else f"best_{weight_name}"
+        if key not in self.models:
+            if _LATEST in self.models:
+                log.warning(f"weight_name={weight_name!r} not found, using latest. "
+                            f"Available: {sorted(self.models)}")
+                key = _LATEST
+            else:
+                raise KeyError(f"No weights {weight_name!r} in checkpoint "
+                               f"(have {sorted(self.models)})")
+        return self.models[key]
+
+
+def _msgpack_safe(obj):
+    if isinstance(obj, dict):
+        return {str(k): _msgpack_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_msgpack_safe(v) for v in obj]
+    if isinstance(obj, (np.ndarray, np.generic)):
+        return obj
+    if hasattr(obj, "to_dict"):
+        return _msgpack_safe(obj.to_dict())
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return _msgpack_safe(dataclasses.asdict(obj))
+    return obj
+
+
+class ModelCheckpoint:
+    """File-backed manager (model_checkpoint.py:163-362)."""
+
+    def __init__(self, load_dir: str, check_name: str, selection_stage: str,
+                 run_config: Optional[dict] = None,
+                 dataset_properties: Optional[dict] = None,
+                 resume: bool = False, save_dir: Optional[str] = None):
+        self.check_name = check_name
+        self.selection_stage = selection_stage
+        self.save_dir = Path(save_dir or load_dir or ".")
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        path = Path(load_dir or ".") / f"{check_name}.ckpt"
+        if resume and path.exists():
+            self.checkpoint = Checkpoint.from_bytes(path.read_bytes())
+            # resume copies into the new run dir so the original isn't
+            # clobbered (model_checkpoint.py:83-88)
+            if Path(load_dir).resolve() != self.save_dir.resolve():
+                (self.save_dir / f"{check_name}.ckpt").write_bytes(
+                    path.read_bytes())
+        else:
+            self.checkpoint = Checkpoint(run_config, dataset_properties)
+
+    @property
+    def path(self) -> Path:
+        return self.save_dir / f"{self.check_name}.ckpt"
+
+    @property
+    def start_epoch(self) -> int:
+        return self.checkpoint.start_epoch
+
+    def is_empty(self) -> bool:
+        return not self.checkpoint.models
+
+    def save(self) -> None:
+        tmp = self.path.with_suffix(".ckpt.tmp")
+        tmp.write_bytes(self.checkpoint.to_bytes())
+        os.replace(tmp, self.path)
+
+    def save_best_models_under_current_metrics(
+            self, state: TrainState, stage: str, epoch: int,
+            metrics: Dict[str, float], metric_funcs: Dict[str, Callable],
+            optimizer_name: str = "AdaBelief") -> List[str]:
+        """Returns names of improved metrics (model_checkpoint.py:255-362).
+        `metrics` keys are stage-prefixed tracker keys."""
+        ckpt = self.checkpoint
+        stats = ckpt.stats.setdefault(stage, [])
+        state_dict = state.model_state()
+        current_stat: Dict[str, Any] = {"epoch": epoch}
+        improved: List[str] = []
+
+        if stage == "train":
+            ckpt.models[_LATEST] = state_dict
+        else:
+            latest_stats = stats[-1] if stats else None
+            for metric_name, value in metrics.items():
+                if all(k not in metric_name for k in ("total_", "loss_")):
+                    continue
+                current_stat[metric_name] = value
+                func = _find_func(metric_name, metric_funcs)
+                if func is None:
+                    continue
+                if latest_stats is None:
+                    current_stat[f"best_{metric_name}"] = value
+                    ckpt.models[f"best_{metric_name}"] = state_dict
+                else:
+                    prev_best = latest_stats.get(f"best_{metric_name}", value)
+                    best = func(prev_best, value)
+                    current_stat[f"best_{metric_name}"] = best
+                    if (self.selection_stage == stage and value == best
+                            and value != prev_best):
+                        ckpt.models[f"best_{metric_name}"] = state_dict
+                        improved.append(metric_name)
+
+        ckpt.optimizer = (optimizer_name,
+                          {"opt_state": _opt_state_to_tree(state.opt_state),
+                           "step": state.step, "epoch": state.epoch,
+                           "num_samples": state.num_samples})
+        stats.append(current_stat)
+        self.save()
+        return improved
+
+
+def _find_func(metric_name: str, metric_funcs: Dict[str, Callable]):
+    """Substring match like the reference's find_func_from_metric_name."""
+    for key, fn in metric_funcs.items():
+        if key in metric_name:
+            return fn
+    return None
+
+
+def _opt_state_to_tree(opt_state):
+    flat, _ = jax.tree_util.tree_flatten(jax.device_get(opt_state))
+    return {"flat": [np.asarray(x) for x in flat]}
+
+
+def restore_opt_state(template_opt_state, saved: dict):
+    flat_t, treedef = jax.tree_util.tree_flatten(template_opt_state)
+    flat_s = saved["flat"]
+    if len(flat_s) != len(flat_t):
+        raise ValueError("optimizer state mismatch: "
+                         f"{len(flat_s)} saved vs {len(flat_t)} expected")
+    restored = [np.asarray(s).astype(np.asarray(t).dtype).reshape(np.shape(t))
+                for s, t in zip(flat_s, flat_t)]
+    return jax.tree_util.tree_unflatten(treedef, restored)

@@ -1,0 +1,139 @@
+"""Jitted train/eval/calibrate steps over the device mesh.
+
+One `jax.jit` program per (model, batch-shape bucket): forward + loss + grad +
+AdaBelief update + metric outputs — the fused TPU equivalent of the
+reference's optimize_parameters (base_model.py:230-256). bf16-friendly, no
+GradScaler (TPU bf16 needs no loss scaling, SURVEY.md §2.10).
+
+The batch is sharded over the mesh's `data` axis, params replicated; GSPMD
+inserts gradient psums over ICI. BatchNorm moments reduce over the global
+(sharded) batch axis, i.e. cross-replica BN — see nn/norm.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.base import InstanceSpec, compute_reg_loss, convert_outputs, reg_output
+from ..parallel.mesh import batch_sharding, replicate_sharding, shard_batch
+from .state import TrainState
+
+
+def _forward(net, spec: InstanceSpec, params, batch_stats, batch, train: bool,
+             dropout_rng=None):
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = {}
+    if dropout_rng is not None:
+        kwargs["rngs"] = {"dropout": dropout_rng}
+    if train:
+        raw, mutated = net.apply(variables, batch, train=True,
+                                 mutable=["batch_stats"], **kwargs)
+        new_stats = mutated["batch_stats"]
+    else:
+        raw = net.apply(variables, batch, train=False, **kwargs)
+        new_stats = batch_stats
+    reg_out = convert_outputs(spec, raw)
+    return reg_out, new_stats
+
+
+def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
+                    mesh=None) -> Callable:
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        reg_out, new_stats = _forward(net, spec, params, batch_stats, batch,
+                                      train=True, dropout_rng=dropout_rng)
+        loss = compute_reg_loss(spec, reg_out, batch.y_reg, batch.y_reg_mask,
+                                training=True)
+        return loss, (new_stats, reg_out)
+
+    def step(params, batch_stats, opt_state, batch, dropout_rng):
+        (loss, (new_stats, reg_out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, batch, dropout_rng)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        out = {"loss": loss, "loss_reg": loss,
+               "reg_out": reg_output(spec, reg_out)}
+        return new_params, new_stats, new_opt_state, out
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = replicate_sharding(mesh)
+    return jax.jit(step, in_shardings=(repl, repl, repl, None, repl),
+                   out_shardings=(repl, repl, repl, repl))
+
+
+def make_eval_step(net, spec: InstanceSpec, mesh=None,
+                   train_mode: bool = False) -> Callable:
+    """Forward-only. train_mode=True reproduces calibrate_bn (BN running-stat
+    updates under no_grad, calibrate_bn.py:8-21) and enable_bn_in_eval."""
+    def step(params, batch_stats, batch, dropout_rng=None):
+        reg_out, new_stats = _forward(net, spec, params, batch_stats, batch,
+                                      train=train_mode, dropout_rng=dropout_rng)
+        loss = compute_reg_loss(spec, reg_out, batch.y_reg, batch.y_reg_mask,
+                                training=False)
+        out = {"loss": loss, "loss_reg": loss,
+               "reg_out": reg_output(spec, reg_out)}
+        return new_stats, out
+
+    if mesh is None:
+        return jax.jit(step, static_argnames=())
+    repl = replicate_sharding(mesh)
+    return jax.jit(step, in_shardings=(repl, repl, None, repl),
+                   out_shardings=(repl, repl))
+
+
+@dataclasses.dataclass
+class StepRunner:
+    """Binds state + jitted steps; keeps host-side counters and rng folding."""
+    net: Any
+    spec: InstanceSpec
+    tx: optax.GradientTransformation
+    mesh: Any = None
+    seed: int = 0
+
+    def __post_init__(self):
+        self._train_step = make_train_step(self.net, self.spec, self.tx, self.mesh)
+        self._eval_step = make_eval_step(self.net, self.spec, self.mesh, False)
+        self._calib_step = make_eval_step(self.net, self.spec, self.mesh, True)
+        self._root_rng = jax.random.PRNGKey(self.seed)
+
+    def init_state(self, example_batch) -> TrainState:
+        variables = self.net.init(
+            {"params": jax.random.fold_in(self._root_rng, 0),
+             "dropout": jax.random.fold_in(self._root_rng, 1)},
+            example_batch, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=self.tx.init(params))
+
+    def _put(self, batch):
+        return shard_batch(self.mesh, batch) if self.mesh is not None else batch
+
+    def train(self, state: TrainState, batch) -> tuple:
+        rng = jax.random.fold_in(self._root_rng, 2 + state.step)
+        params, stats, opt_state, out = self._train_step(
+            state.params, state.batch_stats, state.opt_state,
+            self._put(batch), rng)
+        new_state = dataclasses.replace(
+            state, params=params, batch_stats=stats, opt_state=opt_state,
+            step=state.step + 1,
+            num_samples=state.num_samples + batch.pos.shape[0])
+        return new_state, out
+
+    def evaluate(self, state: TrainState, batch, enable_dropout: bool = False,
+                 rng_salt: int = 0) -> Dict[str, Any]:
+        rng = (jax.random.fold_in(self._root_rng, 10_000_019 + rng_salt)
+               if enable_dropout else None)
+        _, out = self._eval_step(state.params, state.batch_stats,
+                                 self._put(batch), rng)
+        return out
+
+    def calibrate(self, state: TrainState, batch) -> tuple:
+        stats, out = self._calib_step(state.params, state.batch_stats,
+                                      self._put(batch), None)
+        return dataclasses.replace(state, batch_stats=stats), out

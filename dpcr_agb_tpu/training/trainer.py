@@ -1,0 +1,340 @@
+"""Trainer orchestration (reference torch_points3d/trainer.py:34-521).
+
+Builds checkpoint/dataset/model/loaders/tracker/visualizer, runs the epoch
+loops with the jitted StepRunner, tracks metrics (every 10th train batch,
+every eval batch — trainer.py:333-335), selects best checkpoints on the
+selection stage, and exports predictions.
+
+TPU-architecture differences (deliberate):
+  * the train step is one jitted program over the device mesh — no
+    DataParallel wrap, no GradScaler (bf16 needs none)
+  * host augmentation + collate overlap device compute via the Loader's
+    prefetch threads
+  * `enable_mixed` maps to bf16 compute inside models rather than AMP
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import optax
+
+from ..data.batch import CollateSpec
+from ..data.dataset import instantiate_dataset
+from ..data.loader import Loader
+from ..models.factory import ModelBundle, instantiate_model
+from ..parallel.mesh import make_mesh
+from ..visualization.visualizer import Visualizer
+from .optim import adabelief, make_lr_fn
+from .state import ModelCheckpoint, TrainState, restore_opt_state
+from .step import StepRunner
+
+log = logging.getLogger(__name__)
+
+
+def _cfg_to_dict(cfg):
+    return cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+
+
+class Trainer:
+    def __init__(self, cfg, eval_mode: bool = False):
+        self._cfg = cfg
+        self._eval_mode = eval_mode
+        self._initialize_trainer()
+
+    # ------------------------------------------------------------------ init
+    def _initialize_trainer(self) -> None:
+        cfg = self._cfg
+        self.training_cfg = cfg["training"]
+        get_t = self.training_cfg.get
+        self.epochs = int(get_t("epochs", 1))
+        self.batch_size = int(get_t("batch_size", 2))
+        self.shuffle = bool(get_t("shuffle", True))
+        self.num_workers = int(get_t("num_workers", 4))
+        self.seed = int(cfg.get("seed", 0) or 0)
+        self.eval_frequency = int(cfg.get("eval_frequency", 1))
+        self.selection_stage = str(cfg.get("selection_stage", "") or "val")
+        self.update_lr_on = str(cfg.get("update_lr_scheduler_on", "on_epoch"))
+        self.tracker_options = cfg.get("tracker_options", {}) or {}
+        dbg = cfg.get("debugging", {}) or {}
+        self.early_break = bool(dbg.get("early_break", False))
+        self.num_batches_stop = dbg.get("num_batches", 0) or 0
+        self.profiling = bool(dbg.get("profiling", False))
+
+        checkpoint_dir = str(get_t("checkpoint_dir", "") or "")
+        self.resume = bool(checkpoint_dir)
+        self.run_dir = str(cfg.get("run_dir", ".") or ".")
+        Path(self.run_dir).mkdir(parents=True, exist_ok=True)
+        self.model_name = str(cfg["model_name"])
+
+        run_config = _cfg_to_dict(cfg)
+        self.checkpoint = ModelCheckpoint(
+            checkpoint_dir or self.run_dir, self.model_name,
+            self.selection_stage, run_config=run_config,
+            resume=self.resume, save_dir=self.run_dir)
+        if self.resume and not self.checkpoint.is_empty():
+            # re-create model/dataset from the stored run config
+            # (model_checkpoint.py:182-193) unless the caller overrides
+            saved = self.checkpoint.checkpoint.run_config
+            if saved and not self._eval_mode:
+                log.info("Resuming from checkpoint run config")
+
+        self.dataset = instantiate_dataset(cfg["data"])
+        self.bundle: ModelBundle = instantiate_model(
+            cfg["models"], self.model_name, self.dataset, bn_axis_name=None)
+
+        # mesh: data-parallel over all visible devices that divide batch_size
+        n_dev = len(jax.devices())
+        while n_dev > 1 and self.batch_size % n_dev:
+            n_dev -= 1
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+
+        self._create_loaders()
+
+        # optimizer
+        optim_cfg = self.training_cfg.get("optim", {}) or {}
+        base_lr = float(optim_cfg.get("base_lr", 1e-3))
+        self.lr_fn = make_lr_fn(
+            optim_cfg.get("lr_scheduler"), base_lr, self.update_lr_on,
+            batches_per_epoch=max(len(self.loaders.get("train"))
+                                  if self.loaders.get("train") else 1, 1),
+            batch_size=self.batch_size)
+        self.tx = self._build_optimizer(optim_cfg)
+
+        self.runner = StepRunner(net=self.bundle.net, spec=self.bundle.spec,
+                                 tx=self.tx, mesh=self.mesh, seed=self.seed)
+        example = self._example_batch()
+        self.state = self.runner.init_state(example)
+        self._maybe_restore_weights()
+
+        wandb_log = bool(self.training_cfg.get("wandb", {}).get("log", False)) \
+            if self.training_cfg.get("wandb") else False
+        tb_log = bool(self.training_cfg.get("tensorboard", {}).get("log", False)) \
+            if self.training_cfg.get("tensorboard") else False
+        self.tracker = self.dataset.get_tracker(wandb_log, tb_log,
+                                                log_dir=self.run_dir)
+        num_batches = {s: (len(l) if l else 0) for s, l in self.loaders.items()}
+        self.visualizer = Visualizer(cfg.get("visualization", {}) or {},
+                                     num_batches, self.batch_size, self.run_dir)
+
+    def _build_optimizer(self, optim_cfg) -> optax.GradientTransformation:
+        opt = optim_cfg.get("optimizer", {}) or {}
+        name = str(opt.get("class", "AdaBelief"))
+        params = _cfg_to_dict(opt.get("params", {}) or {})
+        params.pop("lr", None)
+        grad_clip = optim_cfg.get("grad_clip", -1)
+        chain = []
+        if grad_clip and float(grad_clip) > 0:
+            # torch clip_grad_value_ semantics (base_model.py:241-243)
+            chain.append(optax.clip(float(grad_clip)))
+        if name.lower() == "adabelief":
+            chain.append(adabelief(self.lr_fn, **params))
+        elif name.lower() == "sgd":
+            chain.append(optax.sgd(self.lr_fn,
+                                   momentum=params.get("momentum", 0.0)))
+            if params.get("weight_decay"):
+                chain.insert(-1, optax.add_decayed_weights(
+                    float(params["weight_decay"])))
+        elif name.lower() in ("adam", "adamw"):
+            fn = optax.adamw if name.lower() == "adamw" else optax.adam
+            kwargs = {}
+            if name.lower() == "adamw" and "weight_decay" in params:
+                kwargs["weight_decay"] = float(params["weight_decay"])
+            chain.append(fn(self.lr_fn, **kwargs))
+        else:
+            raise ValueError(f"Unknown optimizer: {name}")
+        self.optimizer_name = name
+        return optax.chain(*chain)
+
+    def _create_loaders(self) -> None:
+        spec: CollateSpec = self.bundle.collate
+        self.loaders: Dict[str, Optional[Loader]] = {}
+        for split in ("train", "val", "test"):
+            ds = self.dataset.datasets.get(split)
+            if ds is None or len(ds) == 0:
+                self.loaders[split] = None
+                continue
+            is_train = split == "train" and not self._eval_mode
+            self.loaders[split] = Loader(
+                ds, self.dataset.transform_for(split),
+                batch_size=self.batch_size, spec=spec,
+                shuffle=is_train and self.shuffle,
+                double_batch=self.bundle.spec.double_batch and is_train,
+                drop_last=is_train, seed=self.seed,
+                num_workers=self.num_workers)
+
+    def _example_batch(self):
+        for split in ("train", "val", "test"):
+            loader = self.loaders.get(split)
+            if loader is not None:
+                return next(iter(loader.epoch(0)))
+        raise RuntimeError("No data available in any split")
+
+    def _maybe_restore_weights(self) -> None:
+        if self.checkpoint.is_empty():
+            return
+        weight_name = str(self.training_cfg.get("weight_name", "latest"))
+        saved = self.checkpoint.checkpoint.get_model_state(weight_name)
+        self.state = _load_model_state(self.state, saved)
+        opt = self.checkpoint.checkpoint.optimizer
+        if opt and opt[1] and not self._eval_mode:
+            try:
+                restored = restore_opt_state(self.state.opt_state,
+                                             opt[1]["opt_state"])
+                self.state = dataclasses.replace(
+                    self.state, opt_state=restored,
+                    step=int(opt[1].get("step", 0)),
+                    epoch=int(opt[1].get("epoch", 0)),
+                    num_samples=int(opt[1].get("num_samples", 0)))
+            except Exception as e:
+                log.warning(f"Could not restore optimizer state: {e}")
+        log.info(f"Restored weights '{weight_name}' "
+                 f"(epoch {self.checkpoint.start_epoch - 1})")
+
+    # ------------------------------------------------------------------ loops
+    @property
+    def start_epoch(self) -> int:
+        return self.checkpoint.start_epoch
+
+    def train(self) -> None:
+        start = self.start_epoch
+        if start > self.epochs:
+            # resume-finished: single final test epoch (trainer.py:214-217)
+            self._test_epoch(start, "test")
+            return
+        for epoch in range(start, self.epochs + 1):
+            log.info(f"EPOCH {epoch} / {self.epochs}")
+            self._train_epoch(epoch)
+            if self.profiling and self.num_batches_stop:
+                return
+            if self.eval_frequency and epoch % self.eval_frequency == 0:
+                for stage in ("val", "test"):
+                    if self.loaders.get(stage):
+                        self._test_epoch(epoch, stage)
+
+    def eval(self, stage: str = "test") -> Dict[str, float]:
+        if self.loaders.get(stage) is None:
+            log.warning(f"No {stage} dataset, skipping")
+            return {}
+        return self._test_epoch(self.start_epoch - 1, stage)
+
+    def iterate_epochs(self, n: int) -> None:
+        """BN recalibration: forward-only train-mode epochs
+        (calibrate_bn.py:8-21, trainer.py:230-283)."""
+        for i in range(n):
+            log.info(f"BN calibration epoch {i + 1}/{n}")
+            self.tracker.reset("train")
+            for bi, batch in enumerate(self.loaders["train"].epoch(i)):
+                self.state, out = self.runner.calibrate(self.state, batch)
+                self._track(batch, out, every=10, batch_i=bi)
+                if self._stop_early(bi):
+                    break
+            metrics = self.tracker.get_metrics()
+            self.checkpoint.save_best_models_under_current_metrics(
+                self.state, "train", self.start_epoch - 1, metrics,
+                self.tracker.metric_func, self.optimizer_name)
+
+    def _train_epoch(self, epoch: int) -> None:
+        self.tracker.reset("train")
+        self.visualizer.reset(epoch, "train")
+        loader = self.loaders["train"]
+        t0 = time.time()
+        n_batches = len(loader)
+        for bi, batch in enumerate(loader.epoch(epoch)):
+            self.state, out = self.runner.train(self.state, batch)
+            if bi % 10 == 0:  # track every 10th batch (trainer.py:333-335)
+                self._track(batch, out)
+            if self._stop_early(bi):
+                break
+        self.state = dataclasses.replace(self.state, epoch=epoch)
+        dur = time.time() - t0
+        log.info(f"train epoch {epoch}: {n_batches} batches in {dur:.1f}s "
+                 f"({n_batches * self.batch_size / max(dur, 1e-9):.1f} plots/s)")
+        self._finalize_epoch(epoch, "train")
+
+    def _test_epoch(self, epoch: int, stage: str) -> Dict[str, float]:
+        loader = self.loaders[stage]
+        self.tracker.reset(stage)
+        self.visualizer.reset(epoch, stage)
+        voting_runs = int(self._cfg.get("voting_runs", 1) or 1)
+        enable_dropout = bool(self._cfg.get("enable_dropout", False))
+        for run in range(voting_runs):
+            for bi, batch in enumerate(loader.epoch(run)):
+                out = self.runner.evaluate(self.state, batch,
+                                           enable_dropout=enable_dropout,
+                                           rng_salt=run * 100003 + bi)
+                self._track(batch, out)
+                self._visualize(batch, out)
+                if self._stop_early(bi):
+                    break
+        return self._finalize_epoch(epoch, stage)
+
+    # ------------------------------------------------------------------ utils
+    def _track(self, batch, out, every: int = 1, batch_i: int = 0) -> None:
+        if every > 1 and batch_i % every:
+            return
+        sample_mask = ~np.asarray(batch.is_double)
+        self.tracker.track({
+            "losses": {"loss": float(out["loss"]),
+                       "loss_reg": float(out["loss_reg"])},
+            "reg_out": np.asarray(out["reg_out"]),
+            "reg_y": np.asarray(batch.y_reg),
+            "area_idx": np.asarray(batch.area_idx),
+            "sample_mask": sample_mask,
+        })
+
+    def _visualize(self, batch, out) -> None:
+        if not self.visualizer.is_active:
+            return
+        self.visualizer.save_visuals(
+            np.asarray(out["reg_out"]), np.asarray(batch.y_reg),
+            np.asarray(batch.area_idx), np.asarray(batch.label_idx),
+            self.dataset.area_names, self.dataset.reg_targets,
+            sample_mask=~np.asarray(batch.is_double))
+
+    def _finalize_epoch(self, epoch: int, stage: str) -> Dict[str, float]:
+        self.tracker.finalise()
+        metrics = self.tracker.get_metrics()
+        improved = self.checkpoint.save_best_models_under_current_metrics(
+            self.state, stage, epoch, metrics, self.tracker.metric_func,
+            self.optimizer_name)
+        if improved:
+            log.info(f"improved: {', '.join(improved)}")
+        self.tracker.publish_metrics(metrics, epoch)
+        self.visualizer.finalize_epoch(self.dataset)
+        return metrics
+
+    def _stop_early(self, batch_i: int) -> bool:
+        if self.early_break and batch_i >= 0:
+            return True
+        if self.num_batches_stop and batch_i + 1 >= self.num_batches_stop:
+            return True
+        return False
+
+
+def _load_model_state(state: TrainState, saved: dict) -> TrainState:
+    """Shape-checked partial load (base_model.py:151-159 semantics)."""
+    def merge(template, src):
+        out = {}
+        for k, v in template.items():
+            if isinstance(v, dict):
+                out[k] = merge(v, src.get(k, {}) if isinstance(src, dict) else {})
+            else:
+                sv = src.get(k) if isinstance(src, dict) else None
+                if sv is not None and np.shape(sv) == np.shape(v):
+                    out[k] = np.asarray(sv).astype(np.asarray(v).dtype)
+                else:
+                    if sv is not None:
+                        log.warning(f"shape mismatch for {k}, keeping init")
+                    out[k] = v
+        return out
+
+    params = merge(jax.device_get(state.params), saved.get("params", {}))
+    stats = merge(jax.device_get(state.batch_stats),
+                  saved.get("batch_stats", {}))
+    return dataclasses.replace(state, params=params, batch_stats=stats)

@@ -135,8 +135,19 @@ def instantiate_transform(entry) -> Transform:
     return TRANSFORM_REGISTRY[name](**params)
 
 
+def _flatten(entries):
+    """One level of list nesting is allowed so YAML presets can splice shared
+    pipeline fragments with anchors ([*prefix, *suffix])."""
+    for e in entries:
+        if isinstance(e, (list, tuple)):
+            yield from e
+        else:
+            yield e
+
+
 def instantiate_transforms(cfg_list) -> Compose:
     """Build a Compose from a config list (reference __init__.py:48-94)."""
     if cfg_list is None:
         return Compose([])
-    return Compose([instantiate_transform(e) for e in _to_plain(cfg_list)])
+    return Compose([instantiate_transform(e)
+                    for e in _flatten(_to_plain(cfg_list))])

@@ -466,7 +466,8 @@ class ZFilter(Transform):
     """transforms.py:1607-1620 — keep points with z_min < z < z_max."""
 
     def __init__(self, z_min, z_max, skip_keys=()):
-        self.z_min, self.z_max = z_min, z_max
+        # YAML 1.1 parses bare "-1e-5" as a string; coerce defensively
+        self.z_min, self.z_max = float(z_min), float(z_max)
         self.skip_keys = list(skip_keys or [])
 
     def __call__(self, rng, sample):

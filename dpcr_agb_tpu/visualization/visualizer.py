@@ -1,0 +1,100 @@
+"""Prediction export for the instance task (reference
+visualization/visualizer.py:19-405, instance branch :220-247 + :120-145):
+collects per-sample de-standardized predictions with area/label ids, then at
+epoch end joins them onto the area label tables and appends
+`<area>_preds.gpkg` / `<area>_<stage>_preds.csv` — the bridge the offline
+eval notebooks consume.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from .gpkg import write_gpkg
+
+log = logging.getLogger(__name__)
+
+
+class Visualizer:
+    def __init__(self, viz_cfg, num_batches: Dict[str, int], batch_size: int,
+                 save_dir: str, tracker_stage_names=None):
+        get = viz_cfg.get if hasattr(viz_cfg, "get") else (viz_cfg or {}).get
+        self._format = get("format", ["csv"])
+        if isinstance(self._format, str):
+            self._format = [self._format]
+        self._save_csv = "csv" in self._format
+        self._save_gpkg = "gpkg" in self._format
+        self._save_dir = save_dir
+        self._deactivated = not (self._save_csv or self._save_gpkg)
+        self._rows: List[dict] = []
+        self._stage = "test"
+        self._epoch = 0
+
+    @property
+    def is_active(self) -> bool:
+        return not self._deactivated
+
+    def reset(self, epoch: int, stage: str):
+        self._epoch = epoch
+        self._stage = stage
+        self._rows = []
+
+    def save_visuals(self, reg_out: np.ndarray, y_reg: np.ndarray,
+                     area_idx: np.ndarray, label_idx: np.ndarray,
+                     area_names: List[str], reg_targets: List[str],
+                     sample_mask: Optional[np.ndarray] = None):
+        """Collect one batch of de-standardized predictions (visualizer.py:220-247)."""
+        if self._deactivated:
+            return
+        reg_out = np.asarray(reg_out)
+        y_reg = np.asarray(y_reg)
+        area_idx = np.asarray(area_idx)
+        label_idx = np.asarray(label_idx)
+        for i in range(len(reg_out)):
+            if sample_mask is not None and not sample_mask[i]:
+                continue
+            row = {"area": area_names[int(area_idx[i])],
+                   "label_idx": int(label_idx[i])}
+            for t, name in enumerate(reg_targets):
+                row[f"pred_{name}"] = float(reg_out[i, t])
+                row[f"y_{name}"] = float(y_reg[i, t])
+            self._rows.append(row)
+
+    def finalize_epoch(self, dataset=None):
+        """Join predictions onto label tables; write gpkg/csv (visualizer.py:120-145)."""
+        if self._deactivated or not self._rows:
+            return
+        df = pd.DataFrame(self._rows)
+        os.makedirs(self._save_dir, exist_ok=True)
+        for area_name, area_df in df.groupby("area"):
+            out = area_df.drop(columns=["area"]).copy()
+            out["epoch"] = self._epoch
+            out["stage"] = self._stage
+            if dataset is not None:
+                try:
+                    labels = dataset.get_labels(str(area_name))
+                    joined = out.join(
+                        labels.add_prefix("label_"), on="label_idx", how="left")
+                except Exception as e:  # labels table optional for synth runs
+                    log.debug(f"label join skipped for {area_name}: {e}")
+                    joined = out
+            else:
+                joined = out
+            if self._save_csv:
+                path = os.path.join(self._save_dir,
+                                    f"{area_name}_{self._stage}_preds.csv")
+                joined.to_csv(path, mode="a", index=False,
+                              header=not os.path.exists(path))
+            if self._save_gpkg:
+                path = os.path.join(self._save_dir, f"{area_name}_preds.gpkg")
+                gdf = joined.copy()
+                x_col = "label_x" if "label_x" in gdf else "x"
+                y_col = "label_y" if "label_y" in gdf else "y"
+                gdf["x"] = gdf.get(x_col, np.nan)
+                gdf["y"] = gdf.get(y_col, np.nan)
+                write_gpkg(path, gdf, layer=f"{area_name}_preds", append=True)
+        self._rows = []

@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Evaluation entry point (reference torch-points3d/eval.py:10-34): loads a
+checkpoint, disables shuffling, runs deterministic eval over `eval_stages`
+with optional voting_runs / enable_dropout, exports predictions.
+
+    python eval.py task=instance models=instance/minkowski_baseline \
+        model_name=SENet14 data=instance/NFI/reg data.transform_type=sparse_xy_eval \
+        checkpoint_dir=outputs/... weight_name=total_BMag_ha_rmse
+"""
+import logging
+import os
+import sys
+
+from dpcr_agb_tpu.config import load_config
+from dpcr_agb_tpu.training.trainer import Trainer
+
+CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
+
+
+def main(overrides=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    cfg = load_config(CONF_DIR, "eval", overrides or sys.argv[1:])
+    if cfg.get("pretty_print"):
+        print(cfg.pretty())
+    # the trainer reads training.* keys; eval roots keep them at top level
+    cfg["training"] = {
+        "epochs": 0, "batch_size": cfg.get("batch_size", 2),
+        "num_workers": cfg.get("num_workers", 0), "shuffle": False,
+        "checkpoint_dir": cfg["checkpoint_dir"],
+        "weight_name": cfg.get("weight_name", "latest"),
+        "optim": {"base_lr": 1e-3,
+                  "optimizer": {"class": "AdaBelief", "params": {}}},
+    }
+    trainer = Trainer(cfg, eval_mode=True)
+    results = {}
+    for stage in cfg.get("eval_stages", ["val", "test"]):
+        results[stage] = trainer.eval(stage)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Model-layer tests: loss functions vs torch oracles, double-batch loss math,
+target normalization from dataset stats, MPointNet forward + overfit."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from dpcr_agb_tpu.data.batch import Batch
+from dpcr_agb_tpu.models.base import (InstanceSpec, build_instance_spec,
+                                      compute_reg_loss, convert_outputs,
+                                      l1, l2, mape, reg_output, smape, smoothl1)
+from dpcr_agb_tpu.models.pointnet import MPointNet
+
+
+def _spec(T=2, **kw):
+    d = dict(num_reg_targets=T, scale=np.ones(T, np.float32),
+             center=np.zeros(T, np.float32), weights=np.ones(T, np.float32))
+    d.update(kw)
+    return InstanceSpec(**d)
+
+
+class TestLosses:
+    def test_elementwise_vs_torch(self, rng):
+        x = rng.normal(size=(16, 2)).astype(np.float32) * 2
+        y = rng.normal(size=(16, 2)).astype(np.float32) * 2
+        tx, ty = torch.from_numpy(x), torch.from_numpy(y)
+        np.testing.assert_allclose(
+            np.asarray(smoothl1(x, y)),
+            F.smooth_l1_loss(tx, ty, reduction="none").numpy(), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(l2(x, y)), F.mse_loss(tx, ty, reduction="none").numpy(),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(l1(x, y)), F.l1_loss(tx, ty, reduction="none").numpy(),
+            atol=1e-6)
+
+    def test_mape_zero_targets(self):
+        y = np.array([[0.0, 2.0]], np.float32)
+        x = np.array([[5.0, 1.0]], np.float32)
+        out = np.asarray(mape(x, y))
+        np.testing.assert_allclose(out, [[0.0, 0.5]], atol=1e-6)
+
+    def test_smape_eps(self):
+        out = np.asarray(smape(np.zeros((1, 1), np.float32),
+                               np.zeros((1, 1), np.float32)))
+        assert np.isfinite(out).all() and out[0, 0] == 0.0
+
+
+class TestRegLoss:
+    def test_standardization_and_masking(self):
+        spec = _spec(scale=np.array([2.0, 4.0], np.float32),
+                     center=np.array([1.0, -1.0], np.float32))
+        y = np.array([[3.0, np.nan], [5.0, 7.0]], np.float32)
+        mask = ~np.isnan(y)
+        out = np.array([[1.0, 99.0], [0.0, 2.0]], np.float32)  # standardized
+        loss = float(compute_reg_loss(spec, jnp.asarray(out), jnp.asarray(y),
+                                      jnp.asarray(mask), training=False))
+        # labels: (3-1)/2=1, (5-1)/2=2, (7+1)/4=2; diffs 0, 2, 0
+        expected = np.mean([0.0, 2.0 - 0.5, 0.0])  # smoothl1 over 3 valid
+        np.testing.assert_allclose(loss, expected, rtol=1e-6)
+
+    def test_double_batch_pairs(self):
+        spec = _spec(T=1, double_batch=True)
+        y = np.array([[1.0], [1.0], [2.0], [2.0]], np.float32)
+        mask = np.ones_like(y, bool)
+        out = np.array([[1.0], [3.0], [2.0], [2.0]], np.float32)
+        loss = float(compute_reg_loss(spec, jnp.asarray(out), jnp.asarray(y),
+                                      jnp.asarray(mask), training=True))
+        # pair1: 0.5*sl1(0) + 0.5*sl1(2) = 0.5*1.5 ; pair2: 0
+        np.testing.assert_allclose(loss, 0.75 / 2, rtol=1e-6)
+
+    def test_weights_mean_multiplier(self):
+        spec = _spec(T=2, weights=np.array([1.0, 3.0], np.float32))
+        y = np.zeros((2, 2), np.float32)
+        out = np.ones((2, 2), np.float32) * 2.0
+        loss = float(compute_reg_loss(spec, jnp.asarray(out), jnp.asarray(y),
+                                      jnp.asarray(np.ones_like(y, bool)),
+                                      training=False))
+        np.testing.assert_allclose(loss, 2.0 * 1.5, rtol=1e-6)  # mean(w)=2
+
+
+class TestOutputs:
+    def test_reg_output_destandardizes(self):
+        spec = _spec(T=1, scale=np.array([10.0], np.float32),
+                     center=np.array([5.0], np.float32),
+                     report_activation="relu")
+        out = reg_output(spec, jnp.asarray([[-1.0], [0.5]], jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), [[0.0], [10.0]])
+
+    def test_convert_outputs_activation(self):
+        spec = _spec(T=1, out_activation="relu")
+        raw = jnp.asarray([[-3.0], [2.0]], jnp.float32)
+        np.testing.assert_allclose(np.asarray(convert_outputs(spec, raw)),
+                                   [[0.0], [2.0]])
+
+
+class _FakeDataset:
+    """Minimal stats surface for build_instance_spec."""
+    targets = {
+        "BMag_ha": {"task": "regression"},
+        "V_ha": {"task": "regression", "scale_mult": 2.0},
+    }
+    reg_targets_idx = [True, True]
+    double_batch = False
+
+    def get_mean_targets(self):
+        return {"total": {"train": np.array([100.0, 200.0])},
+                "a1": {"train": np.array([110.0, 220.0])}}
+
+    def get_std_targets(self):
+        return {"total": {"train": np.array([10.0, 20.0])},
+                "a1": {"train": np.array([12.0, 24.0])}}
+
+    def get_min_targets(self):
+        return {"total": {"train": np.array([0.0, 0.0])}}
+
+    def get_max_targets(self):
+        return {"total": {"train": np.array([500.0, 900.0])}}
+
+
+def test_build_instance_spec_standard():
+    spec = build_instance_spec(_FakeDataset(), {"reg_loss_fn": "smoothl1,l2"})
+    np.testing.assert_allclose(spec.center, [105.0, 210.0])
+    np.testing.assert_allclose(spec.scale, [11.0, 2 * 22.0])
+    assert spec.loss_names == ("smoothl1", "l2")
+
+
+def _tiny_batch(rng, bs=8, n=64, c=2, T=1):
+    pos = rng.normal(size=(bs, n, 3)).astype(np.float32)
+    x = rng.normal(size=(bs, n, c)).astype(np.float32)
+    mask = np.ones((bs, n), bool)
+    mask[:, n // 2:] = False
+    # target correlated with mean z of valid points -> learnable
+    y = (pos[:, : n // 2, 2].mean(1, keepdims=True) * 3 + 1).astype(np.float32)
+    return Batch(pos=jnp.asarray(pos), x=jnp.asarray(x), mask=jnp.asarray(mask),
+                 y_reg=jnp.asarray(y), y_reg_mask=jnp.ones((bs, T), bool),
+                 area_idx=jnp.zeros(bs, jnp.int32),
+                 label_idx=jnp.arange(bs, dtype=jnp.int64),
+                 is_double=jnp.zeros(bs, bool))
+
+
+class TestMPointNet:
+    def test_forward_shapes_and_padding_invariance(self, rng):
+        net = MPointNet(num_reg_targets=2, embedding_channel=64)
+        b = _tiny_batch(rng)
+        variables = net.init(jax.random.PRNGKey(0), b, train=False)
+        out = net.apply(variables, b, train=False)
+        assert out.shape == (8, 2)
+        # corrupting padded rows must not change the output
+        b2 = dataclasses.replace(b, x=b.x.at[:, 40:].set(1e6),
+                                 pos=b.pos.at[:, 40:].set(-1e6))
+        out2 = net.apply(variables, b2, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
+
+    def test_overfits_tiny_problem(self, rng):
+        import optax
+        from dpcr_agb_tpu.models.base import compute_reg_loss as crl
+        net = MPointNet(num_reg_targets=1, embedding_channel=32,
+                        global_pool="mean")
+        spec = _spec(T=1)
+        b = _tiny_batch(rng)
+        variables = net.init(jax.random.PRNGKey(0), b, train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(1e-2)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, stats, opt):
+            def loss_fn(p):
+                raw, mut = net.apply({"params": p, "batch_stats": stats}, b,
+                                     train=True, mutable=["batch_stats"],
+                                     rngs={"dropout": jax.random.PRNGKey(1)})
+                return crl(spec, raw, b.y_reg, b.y_reg_mask, True), mut
+            (loss, mut), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            upd, opt = tx.update(g, opt, params)
+            return optax.apply_updates(params, upd), mut["batch_stats"], opt, loss
+
+        losses = []
+        for _ in range(60):
+            params, stats, opt, loss = step(params, stats, opt)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.3, losses[::10]
