@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Classical baselines on per-plot hand statistics — port of
+pointcloud_stats_method/learn_with_stats.ipynb (cells 5, 14, 19-25) plus the
+README's power-law allometric row.
+
+    python baselines.py --data-dir /path/to/nfi-data --model all
+
+Input: {train,val,test}_split.csv with the anonymized NFI stats columns
+(h_mean/std/coov/kur/skew x2 echoes, IR_, height quantiles q5..q99 x2,
+temp_diff_days) and targets BMag_ha / V_ha. Models:
+
+  * linear — SimpleImputer(mean) + LinearRegression fit on train+val,
+    predictions clipped at 0 (notebook cell 14)
+  * rf — SimpleImputer(constant -100) + RandomForest(5000 trees) with the
+    notebook's OOB-grid-searched params {max_depth 11, max_features 0.9,
+    max_samples 0.2, min_samples_leaf 6} (cells 19-24); pass --grid-search
+    to re-run the OOB search (cells 20-21, coarse grid)
+  * power — the README's allometric power-law row; the fitting script is not
+    shipped in the reference, so this is a documented reconstruction:
+    log-linear regression log(y) ~ sum_i b_i log(f_i) on strictly-positive
+    height features, fit on train+val, clipped at 0
+
+Metrics per target on each requested split: R^2, RMSE, MAPE(%, y!=0), mean
+bias — the eval-notebook definitions (eval_deep_learning_v2.ipynb cell 9).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+TARGETS = ["BMag_ha", "V_ha"]
+
+
+def variable_list():
+    qs = [5, 10, 25, 50, 75, 90, 95, 99]
+    cols = []
+    for stat in ["h_mean", "h_std", "h_coov", "h_kur", "h_skew"]:
+        cols += [f"{stat}_1_", f"{stat}_2_"]
+    cols += ["IR_"]
+    cols += [f"h_q{i}_1_" for i in qs] + [f"h_q{i}_2_" for i in qs]
+    cols += ["temp_diff_years"]
+    return cols
+
+
+def load_splits(data_dir: str):
+    dfs = {}
+    for split in ("train", "val", "test"):
+        df = pd.read_csv(os.path.join(data_dir, f"{split}_split.csv"))
+        if "temp_diff_years" not in df.columns and "temp_diff_days" in df.columns:
+            df["temp_diff_years"] = df["temp_diff_days"] / 365.25
+        dfs[split] = df
+    return dfs
+
+
+def metrics(y_true: np.ndarray, y_pred: np.ndarray) -> dict:
+    valid = ~np.isnan(y_true)
+    y, p = y_true[valid], y_pred[valid]
+    ss_res = np.sum((y - p) ** 2)
+    ss_tot = np.sum((y - y.mean()) ** 2)
+    nz = y != 0
+    return {
+        "r2": 1 - ss_res / ss_tot,
+        "rmse": float(np.sqrt(np.mean((y - p) ** 2))),
+        "mape": float(np.mean(np.abs((y[nz] - p[nz]) / y[nz])) * 100),
+        "mean_bias": float(np.mean(y - p)),
+        "n": int(valid.sum()),
+    }
+
+
+def fit_linear(dfs, variables):
+    from sklearn.impute import SimpleImputer
+    from sklearn.linear_model import LinearRegression
+    trainval = pd.concat([dfs["train"], dfs["val"]])
+    imp = SimpleImputer().fit(trainval[variables])
+    model = LinearRegression().fit(imp.transform(trainval[variables]),
+                                   trainval[TARGETS])
+
+    def predict(df):
+        return np.clip(model.predict(imp.transform(df[variables])), 0, None)
+    return predict
+
+
+def fit_rf(dfs, variables, n_trees=5000, grid_search=False, seed=0):
+    from sklearn.ensemble import RandomForestRegressor
+    from sklearn.impute import SimpleImputer
+    trainval = pd.concat([dfs["train"], dfs["val"]])
+    imp = SimpleImputer(strategy="constant", fill_value=-100).fit(
+        trainval[variables])
+    X = imp.transform(trainval[variables])
+    y = trainval[TARGETS]
+    params = {"bootstrap": True, "max_depth": 11, "max_features": 0.9,
+              "max_samples": 0.2, "min_samples_leaf": 6}
+    if grid_search:
+        from sklearn.model_selection import ParameterGrid
+        best = -np.inf
+        for p in ParameterGrid({
+                "max_features": [0.3, 0.6, 0.9],
+                "max_depth": [8, 11, 15, None],
+                "min_samples_leaf": [1, 6, 12],
+                "max_samples": [0.2, 0.5, 0.9],
+                "bootstrap": [True]}):
+            rf = RandomForestRegressor(500, n_jobs=-1, oob_score=True,
+                                       random_state=seed, **p).fit(X, y)
+            if rf.oob_score_ > best:
+                best, params = rf.oob_score_, p
+        print(f"# grid search best (oob {best:.4f}): {params}")
+    model = RandomForestRegressor(n_trees, n_jobs=-1, oob_score=True,
+                                  random_state=seed, **params).fit(X, y)
+
+    def predict(df):
+        return np.clip(model.predict(imp.transform(df[variables])), 0, None)
+    return predict
+
+
+def fit_power(dfs, seed=0):
+    """log(y) ~ b0 + sum b_i log(f_i) on positive height features."""
+    feats = ["h_mean_1_", "h_q99_1_", "h_q50_1_", "h_std_1_"]
+    trainval = pd.concat([dfs["train"], dfs["val"]])
+
+    def design(df):
+        X = np.log(np.clip(df[feats].values.astype(np.float64), 1e-3, None))
+        return np.concatenate([np.ones((len(X), 1)), X], axis=1)
+
+    X = design(trainval)
+    betas = {}
+    for t in TARGETS:
+        y = np.log(np.clip(trainval[t].values.astype(np.float64), 1e-3, None))
+        ok = np.isfinite(y) & np.isfinite(X).all(1)
+        betas[t], *_ = np.linalg.lstsq(X[ok], y[ok], rcond=None)
+
+    def predict(df):
+        Xd = design(df)
+        return np.clip(np.stack(
+            [np.exp(Xd @ betas[t]) for t in TARGETS], axis=1), 0, None)
+    return predict
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="nfi-data")
+    ap.add_argument("--model", default="all",
+                    choices=["linear", "rf", "power", "all"])
+    ap.add_argument("--splits", nargs="+", default=["test"])
+    ap.add_argument("--grid-search", action="store_true")
+    ap.add_argument("--rf-trees", type=int, default=5000)
+    ap.add_argument("--bias-correction", action="store_true",
+                    help="additive delta fitted on train+val, clip at 0 "
+                         "(eval_deep_learning_v2.ipynb cell 7 — applied to "
+                         "the published README numbers)")
+    args = ap.parse_args()
+
+    dfs = load_splits(args.data_dir)
+    variables = [c for c in variable_list() if c in dfs["train"].columns]
+    models = ["linear", "rf", "power"] if args.model == "all" else [args.model]
+
+    results = {}
+    for name in models:
+        if name == "linear":
+            predict = fit_linear(dfs, variables)
+        elif name == "rf":
+            predict = fit_rf(dfs, variables, args.rf_trees, args.grid_search)
+        else:
+            predict = fit_power(dfs)
+        delta = np.zeros(len(TARGETS))
+        if args.bias_correction:
+            tv = pd.concat([dfs["train"], dfs["val"]])
+            delta = np.nanmean(tv[TARGETS].values - predict(tv), axis=0)
+        for split in args.splits:
+            pred = np.clip(predict(dfs[split]) + delta, 0, None)
+            for i, t in enumerate(TARGETS):
+                y = dfs[split][t].values.astype(np.float64)
+                m = metrics(y, pred[:, i])
+                results[f"{name}_{split}_{t}"] = m
+                print(json.dumps({"model": name, "split": split,
+                                  "target": t, **{k: round(v, 4) if
+                                                  isinstance(v, float) else v
+                                                  for k, v in m.items()}}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -164,6 +164,7 @@ class Las:
             sample["local_stats"] = np.array(list(ls.values()), dtype=np.float32)
         sample["label_idx"] = np.int64(label_idx)
         sample["area_idx"] = np.int64(area_idx)
+        sample["area_name"] = np.str_(self.area_names[area_idx])
         if self.pre_transform is not None:
             sample = self.pre_transform(_DETERMINISTIC_RNG, sample)
             if sample["pos"].shape[0] == 0:
@@ -173,8 +174,9 @@ class Las:
 
     # -- access ---------------------------------------------------------------
     def __len__(self) -> int:
-        return len(self._files) if not self.in_memory or not self.memory \
-            else len(self.memory)
+        # _files is recorded even when save_processed=False; memory is a
+        # (possibly partial) lazy cache and must not define the length
+        return len(self._files)
 
     def get(self, idx: int) -> dict:
         if self.in_memory and idx in self.memory:

@@ -57,9 +57,8 @@ class InstanceTracker(BaseTracker):
         self._r2: Dict[str, Dict[str, R2Meter]] = {}
         if not (spec.has_reg_targets and self._track_this_stage()):
             return
-        area_names = [a for a in spec.area_names
+        area_names = [a for a in list(spec.area_names) + ["total"]
                       if spec.target_means.get(a, {}).get(stage) is not None]
-        area_names.append("total")
         for area_name in area_names:
             self._rmse[area_name] = {}
             self._mae[area_name] = {}

@@ -1,0 +1,147 @@
+"""ctypes bindings for the native host ops (native/pointops.cpp) — the C++
+layer replacing the reference's cpp_wrappers (grid subsampling, radius
+neighbors, KD-tree plot queries). Auto-builds with g++ on first use and falls
+back to numpy/sklearn implementations when a compiler isn't available, so the
+framework stays importable everywhere.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_SRC_DIR, "libpointops.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    src = os.path.join(_SRC_DIR, "pointops.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+             "-o", _LIB_PATH, src],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError) as e:
+        log.info(f"native pointops build skipped: {e}")
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        log.info(f"native pointops unavailable: {e}")
+        return None
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.grid_subsample.restype = ctypes.c_int64
+    lib.grid_subsample.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_float, f32p, ctypes.c_void_p, ctypes.c_int64]
+    lib.radius_neighbors.restype = None
+    lib.radius_neighbors.argtypes = [
+        f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_int32, i32p]
+    lib.radius_query_2d.restype = ctypes.c_int64
+    lib.radius_query_2d.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, i32p, ctypes.c_int64]
+    lib.batch_grid_subsample.restype = None
+    lib.batch_grid_subsample.argtypes = [
+        f32p, i64p, ctypes.c_int64, ctypes.c_float, f32p, i64p,
+        ctypes.c_int64]
+    _lib = lib
+    return _lib
+
+
+def is_available() -> bool:
+    return get_lib() is not None
+
+
+def grid_subsample(points: np.ndarray, dl: float,
+                   feats: Optional[np.ndarray] = None,
+                   ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Voxel-barycenter subsample; numpy fallback when the .so is missing."""
+    points = np.ascontiguousarray(points, np.float32)
+    n = len(points)
+    lib = get_lib()
+    if lib is not None:
+        out_p = np.empty((n, 3), np.float32)
+        c = 0 if feats is None else feats.shape[1]
+        if feats is None:
+            n_out = lib.grid_subsample(points, n, None, 0, dl, out_p, None, n)
+            return out_p[:n_out], None
+        feats = np.ascontiguousarray(feats, np.float32)
+        out_f = np.empty((n, c), np.float32)
+        n_out = lib.grid_subsample(
+            points, n, feats.ctypes.data_as(ctypes.c_void_p), c, dl, out_p,
+            out_f.ctypes.data_as(ctypes.c_void_p), n)
+        return out_p[:n_out], out_f[:n_out]
+    # numpy fallback
+    cells = np.floor(points / dl).astype(np.int64)
+    _, inverse, counts = np.unique(cells, axis=0, return_inverse=True,
+                                   return_counts=True)
+    out_p = np.zeros((len(counts), 3), np.float64)
+    np.add.at(out_p, inverse, points)
+    out_p = (out_p / counts[:, None]).astype(np.float32)
+    out_f = None
+    if feats is not None:
+        out_f = np.zeros((len(counts), feats.shape[1]), np.float64)
+        np.add.at(out_f, inverse, feats)
+        out_f = (out_f / counts[:, None]).astype(np.float32)
+    return out_p, out_f
+
+
+def radius_neighbors(queries: np.ndarray, supports: np.ndarray,
+                     radius: float, max_k: int) -> np.ndarray:
+    """[Nq, max_k] int32, ascending by distance, padded with len(supports)."""
+    queries = np.ascontiguousarray(queries, np.float32)
+    supports = np.ascontiguousarray(supports, np.float32)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((len(queries), max_k), np.int32)
+        lib.radius_neighbors(queries, len(queries), supports, len(supports),
+                             radius, max_k, out)
+        return out
+    from sklearn.neighbors import KDTree
+    tree = KDTree(supports)
+    idx, dist = tree.query_radius(queries, radius, return_distance=True,
+                                  sort_results=True)
+    out = np.full((len(queries), max_k), len(supports), np.int32)
+    for i, row in enumerate(idx):
+        k = min(max_k, len(row))
+        out[i, :k] = row[:k]
+    return out
+
+
+def radius_query_2d(points_xy: np.ndarray, cx: float, cy: float,
+                    radius: float) -> np.ndarray:
+    """Indices of points within `radius` of (cx, cy) in the xy plane."""
+    points_xy = np.ascontiguousarray(points_xy, np.float32)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(len(points_xy), np.int32)
+        m = lib.radius_query_2d(points_xy, len(points_xy), cx, cy, radius,
+                                out, len(points_xy))
+        return out[:m].astype(np.int64)
+    d2 = (points_xy[:, 0] - cx) ** 2 + (points_xy[:, 1] - cy) ** 2
+    return np.flatnonzero(d2 <= radius * radius)

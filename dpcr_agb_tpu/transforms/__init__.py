@@ -5,6 +5,7 @@ from . import transforms as _transforms  # noqa: F401 (registration)
 from . import features as _features  # noqa: F401
 from . import grid as _grid  # noqa: F401
 from . import filters as _filters  # noqa: F401
+from . import objects as _objects  # noqa: F401
 
 from .transforms import *  # noqa: F401,F403
 from .features import *  # noqa: F401,F403

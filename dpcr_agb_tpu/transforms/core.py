@@ -151,3 +151,52 @@ def instantiate_transforms(cfg_list) -> Compose:
         return Compose([])
     return Compose([instantiate_transform(e)
                     for e in _flatten(_to_plain(cfg_list))])
+
+
+@register
+class LotteryTransform(Transform):
+    """Draw one transform uniformly per call (reference __init__.py:104-127)."""
+
+    def __init__(self, transform_options):
+        self.choices = instantiate_transforms(transform_options).transforms
+
+    def __call__(self, rng, sample):
+        return self.choices[rng.integers(len(self.choices))](rng, sample)
+
+
+@register
+class ComposeTransform(Transform):
+    """Nested Compose from YAML (reference __init__.py:130-163)."""
+
+    def __init__(self, transform_options):
+        self.transform = instantiate_transforms(transform_options)
+
+    def __call__(self, rng, sample):
+        return self.transform(rng, sample)
+
+
+@register
+class RandomParamTransform(Transform):
+    """Re-instantiate a transform with uniformly drawn parameters on every
+    call (reference __init__.py:166-249). Each param spec is either
+    {min, max, type: float|int} or {value: ...}."""
+
+    def __init__(self, transform_name, transform_params):
+        self.transform_name = transform_name
+        self.transform_params = _to_plain(transform_params)
+
+    def _draw(self, rng):
+        params = {}
+        for key, spec in self.transform_params.items():
+            if "min" in spec and "max" in spec:
+                v = rng.random() * (spec["max"] - spec["min"]) + spec["min"]
+                params[key] = int(v) if spec.get("type") == "int" else float(v)
+            elif "value" in spec:
+                params[key] = spec["value"]
+            else:
+                raise NotImplementedError(f"param spec {spec!r}")
+        return instantiate_transform(
+            {"transform": self.transform_name, "params": params})
+
+    def __call__(self, rng, sample):
+        return self._draw(rng)(rng, sample)

@@ -655,3 +655,65 @@ class KernelDensityZOutlierRemoval(Transform):
         zf = z[:, 0]
         mask = (zf <= zf[keep].max()) & (zf >= zf[keep].min())
         return apply_mask(sample, mask, self.skip_list)
+
+
+@register
+class DensityFilter(Transform):
+    """Remove low-density points: count neighbors within radius_nn, keep
+    points with more than min_num (reference transforms.py:1629-1660)."""
+
+    def __init__(self, radius_nn: float = 0.04, min_num: int = 6,
+                 skip_keys=()):
+        self.radius_nn, self.min_num = radius_nn, min_num
+        self.skip_keys = list(skip_keys or [])
+
+    def __call__(self, rng, sample):
+        from sklearn.neighbors import KDTree
+        pos = sample["pos"]
+        counts = KDTree(pos).query_radius(pos, self.radius_nn,
+                                          count_only=True)
+        mask = (counts - 1) > self.min_num  # exclude self like dist>0
+        return apply_mask(sample, mask, self.skip_keys)
+
+
+@register
+class IrregularSampling(Transform):
+    """Soft crop around a random grid-sampled center: keep prob decays with
+    |p - center|^p (reference transforms.py:1663-1689)."""
+
+    def __init__(self, d_half=2.5, p=2, grid_size_center=0.1, skip_keys=()):
+        self.d_half, self.p = d_half, p
+        self.grid_size = grid_size_center
+        self.skip_keys = list(skip_keys or [])
+
+    def __call__(self, rng, sample):
+        pos = sample["pos"]
+        cells = np.floor(pos / self.grid_size).astype(np.int64)
+        _, first = np.unique(cells, axis=0, return_index=True)
+        center = pos[first[rng.integers(0, len(first))]]
+        d_p = (np.abs(pos - center) ** self.p).sum(1)
+        sigma_2 = (self.d_half ** self.p) / (2 * np.log(2))
+        thresh = np.exp(-d_p / (2 * sigma_2))
+        mask = rng.random(len(pos)) < thresh
+        return apply_mask(sample, mask, self.skip_keys)
+
+
+@register
+class PeriodicSampling(Transform):
+    """Keep points at periodic radial distances from a random center
+    (reference transforms.py:1692-1716)."""
+
+    def __init__(self, period=0.1, prop=0.1, box_multiplier=1, skip_keys=()):
+        self.pulse = 2 * np.pi / period
+        self.thresh = np.cos(self.pulse * prop * period * 0.5)
+        self.box_multiplier = box_multiplier
+        self.skip_keys = list(skip_keys or [])
+
+    def __call__(self, rng, sample):
+        pos = sample["pos"]
+        max_p, min_p = pos.max(0), pos.min(0)
+        center = self.box_multiplier * rng.random(3).astype(np.float32) \
+            * (max_p - min_p) + min_p
+        d_p = np.linalg.norm(pos - center, axis=1)
+        mask = np.cos(self.pulse * d_p) > self.thresh
+        return apply_mask(sample, mask, self.skip_keys)

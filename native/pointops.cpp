@@ -1,0 +1,159 @@
+// Host-side point-cloud ops for the data path — native replacements for the
+// reference's cpp_wrappers (grid_subsampling.cpp, neighbors.cpp) rebuilt
+// around a flat spatial hash instead of nanoflann KD-trees: queries are
+// radius-bounded, so hashing cells of size `radius` gives O(N) behavior and
+// trivially parallel loops.
+//
+// Exposed via a C ABI for ctypes (no pybind11 in this image). All buffers are
+// caller-allocated numpy arrays.
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct CellKey {
+    int32_t x, y, z;
+    bool operator==(const CellKey& o) const {
+        return x == o.x && y == o.y && z == o.z;
+    }
+};
+
+struct CellHash {
+    size_t operator()(const CellKey& k) const {
+        // 3D integer hash (large primes)
+        return (size_t)k.x * 73856093u ^ (size_t)k.y * 19349663u
+             ^ (size_t)k.z * 83492791u;
+    }
+};
+
+inline CellKey cell_of(const float* p, float inv) {
+    return CellKey{(int32_t)std::floor(p[0] * inv),
+                   (int32_t)std::floor(p[1] * inv),
+                   (int32_t)std::floor(p[2] * inv)};
+}
+
+}  // namespace
+
+extern "C" {
+
+// Voxel-barycenter grid subsampling (reference grid_subsampling.cpp:5-106):
+// one output point per occupied voxel = mean of member positions (and
+// features). Returns the number of output points (<= n_max_out).
+// points [n,3] f32; feats [n,c] f32 or null; out_points [n_max_out,3];
+// out_feats [n_max_out,c] or null.
+int64_t grid_subsample(const float* points, int64_t n, const float* feats,
+                       int64_t c, float dl, float* out_points,
+                       float* out_feats, int64_t n_max_out) {
+    std::unordered_map<CellKey, int64_t, CellHash> cells;
+    cells.reserve((size_t)n);
+    std::vector<double> acc_p;
+    std::vector<double> acc_f;
+    std::vector<int64_t> counts;
+    const float inv = 1.0f / dl;
+    for (int64_t i = 0; i < n; ++i) {
+        CellKey key = cell_of(points + 3 * i, inv);
+        auto it = cells.find(key);
+        int64_t idx;
+        if (it == cells.end()) {
+            idx = (int64_t)counts.size();
+            if (idx >= n_max_out) continue;  // deterministic drop at cap
+            cells.emplace(key, idx);
+            acc_p.resize(3 * (idx + 1), 0.0);
+            if (feats) acc_f.resize(c * (idx + 1), 0.0);
+            counts.push_back(0);
+        } else {
+            idx = it->second;
+        }
+        counts[idx]++;
+        for (int d = 0; d < 3; ++d) acc_p[3 * idx + d] += points[3 * i + d];
+        if (feats)
+            for (int64_t d = 0; d < c; ++d)
+                acc_f[c * idx + d] += feats[c * i + d];
+    }
+    int64_t n_out = (int64_t)counts.size();
+    for (int64_t j = 0; j < n_out; ++j) {
+        for (int d = 0; d < 3; ++d)
+            out_points[3 * j + d] = (float)(acc_p[3 * j + d] / counts[j]);
+        if (feats && out_feats)
+            for (int64_t d = 0; d < c; ++d)
+                out_feats[c * j + d] = (float)(acc_f[c * j + d] / counts[j]);
+    }
+    return n_out;
+}
+
+// Radius neighbors, sorted ascending by distance, padded with n_s (shadow)
+// — semantics of neighbors.cpp:211-332 + the neighborhood_limits crop.
+// queries [n_q,3], supports [n_s,3], out [n_q, max_k] int32.
+void radius_neighbors(const float* queries, int64_t n_q,
+                      const float* supports, int64_t n_s, float radius,
+                      int32_t max_k, int32_t* out) {
+    std::unordered_map<CellKey, std::vector<int32_t>, CellHash> grid;
+    grid.reserve((size_t)n_s);
+    const float inv = 1.0f / radius;
+    for (int64_t i = 0; i < n_s; ++i)
+        grid[cell_of(supports + 3 * i, inv)].push_back((int32_t)i);
+
+    const float r2 = radius * radius;
+    std::vector<std::pair<float, int32_t>> cand;
+    for (int64_t q = 0; q < n_q; ++q) {
+        cand.clear();
+        const float* qp = queries + 3 * q;
+        CellKey base = cell_of(qp, inv);
+        for (int dx = -1; dx <= 1; ++dx)
+            for (int dy = -1; dy <= 1; ++dy)
+                for (int dz = -1; dz <= 1; ++dz) {
+                    auto it = grid.find(CellKey{base.x + dx, base.y + dy,
+                                                base.z + dz});
+                    if (it == grid.end()) continue;
+                    for (int32_t s : it->second) {
+                        const float* sp = supports + 3 * s;
+                        float d0 = qp[0] - sp[0], d1 = qp[1] - sp[1],
+                              d2 = qp[2] - sp[2];
+                        float d = d0 * d0 + d1 * d1 + d2 * d2;
+                        if (d < r2) cand.emplace_back(d, s);
+                    }
+                }
+        int32_t k = (int32_t)std::min((size_t)max_k, cand.size());
+        std::partial_sort(cand.begin(), cand.begin() + k, cand.end());
+        int32_t* row = out + (size_t)q * max_k;
+        for (int32_t j = 0; j < k; ++j) row[j] = cand[j].second;
+        for (int32_t j = k; j < max_k; ++j) row[j] = (int32_t)n_s;
+    }
+}
+
+// 2D radius query for plot extraction (replaces sklearn KDTree.query_radius
+// in las_dataset.py:256-258): returns the number of hits written into
+// out_idx (caller capacity n_max).
+int64_t radius_query_2d(const float* points_xy, int64_t n, float cx, float cy,
+                        float radius, int32_t* out_idx, int64_t n_max) {
+    const float r2 = radius * radius;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n && m < n_max; ++i) {
+        float dx = points_xy[2 * i] - cx;
+        float dy = points_xy[2 * i + 1] - cy;
+        if (dx * dx + dy * dy <= r2) out_idx[m++] = (int32_t)i;
+    }
+    return m;
+}
+
+// Batched variant of grid_subsample over concatenated clouds
+// (grid_subsampling.cpp:109-211): lengths [b] -> out_lengths [b].
+void batch_grid_subsample(const float* points, const int64_t* lengths,
+                          int64_t b, float dl, float* out_points,
+                          int64_t* out_lengths, int64_t n_max_out_per) {
+    int64_t in_off = 0, out_off = 0;
+    for (int64_t i = 0; i < b; ++i) {
+        out_lengths[i] = grid_subsample(points + 3 * in_off, lengths[i],
+                                        nullptr, 0, dl,
+                                        out_points + 3 * out_off, nullptr,
+                                        n_max_out_per);
+        in_off += lengths[i];
+        out_off += out_lengths[i];
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,204 @@
+"""KPConv stack tests: neighbor/subsample ops vs numpy oracles, core KPConv
+op vs the reference formula, KPCNN end-to-end shapes + padding invariance."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpcr_agb_tpu.ops.kernel_points import load_kernel_points, spherical_lloyd
+from dpcr_agb_tpu.ops.neighbors import fps, grid_subsample, radius_neighbors
+from dpcr_agb_tpu.models.kpconv import (KPCNN, build_kpconv, kpconv_apply,
+                                        max_pool_zero_shadow)
+
+
+def _cloud(rng, n_valid, n_pad):
+    pos = np.full((n_pad, 3), 1e6, np.float32)
+    pos[:n_valid] = rng.uniform(0, 1, size=(n_valid, 3)).astype(np.float32)
+    mask = np.zeros(n_pad, bool)
+    mask[:n_valid] = True
+    return pos, mask
+
+
+class TestRadiusNeighbors:
+    def test_matches_numpy_oracle(self, rng):
+        q, qm = _cloud(rng, 50, 64)
+        s, sm = _cloud(rng, 40, 48)
+        r, k = 0.3, 8
+        nbr = np.asarray(radius_neighbors(
+            jnp.asarray(q), jnp.asarray(qm), jnp.asarray(s), jnp.asarray(sm),
+            r, k, tile=16))
+        assert nbr.shape == (64, k)
+        for i in range(64):
+            if not qm[i]:
+                assert (nbr[i] == 48).all()
+                continue
+            d = np.linalg.norm(s[:40] - q[i], axis=1)
+            want = np.argsort(d)
+            want = [j for j in want if d[j] < r][:k]
+            got = [j for j in nbr[i] if j < 48]
+            assert got == want, (i, got, want)
+            assert (nbr[i, len(got):] == 48).all()
+
+    def test_k_larger_than_supports(self, rng):
+        q, qm = _cloud(rng, 4, 4)
+        s, sm = _cloud(rng, 3, 3)
+        nbr = np.asarray(radius_neighbors(
+            jnp.asarray(q), jnp.asarray(qm), jnp.asarray(s), jnp.asarray(sm),
+            10.0, 6))
+        assert nbr.shape == (4, 6)
+        assert (nbr <= 3).all()
+
+
+class TestGridSubsample:
+    def test_barycenters(self, rng):
+        pos, mask = _cloud(rng, 30, 40)
+        dl = 0.25
+        out_pos, out_mask = grid_subsample(jnp.asarray(pos), jnp.asarray(mask),
+                                           dl, 40)
+        out_pos, out_mask = np.asarray(out_pos), np.asarray(out_mask)
+        cells = np.floor(pos[:30] / dl).astype(int)
+        uniq = {tuple(c) for c in cells}
+        assert out_mask.sum() == len(uniq)
+        got = {tuple(np.floor(p / dl).astype(int)): p
+               for p in out_pos[out_mask]}
+        for c in uniq:
+            members = pos[:30][(cells == np.array(c)).all(axis=1)]
+            np.testing.assert_allclose(got[c], members.mean(0), rtol=1e-4)
+
+    def test_rotation_roundtrip(self, rng):
+        from dpcr_agb_tpu.ops.neighbors import random_rotation
+        pos, mask = _cloud(rng, 20, 24)
+        rot = random_rotation(jax.random.PRNGKey(3))
+        assert np.allclose(np.asarray(rot @ rot.T), np.eye(3), atol=1e-5)
+        out_pos, out_mask = grid_subsample(jnp.asarray(pos), jnp.asarray(mask),
+                                           0.25, 24, rotation=rot)
+        # barycenters stay within the cloud's bounding box (after inverse rot)
+        valid = np.asarray(out_pos)[np.asarray(out_mask)]
+        assert valid.min() > -0.5 and valid.max() < 1.5
+
+
+class TestKPConvOp:
+    def _oracle(self, q, s, nbr, x, kp, w, extent):
+        """Reference formula (blocks.py:302-400), numpy."""
+        ns = len(s)
+        s_pad = np.concatenate([s, np.full((1, 3), 1e6, np.float32)])
+        x_pad = np.concatenate([x, np.zeros((1, x.shape[1]), np.float32)])
+        out = np.zeros((len(q), w.shape[2]))
+        for i in range(len(q)):
+            neigh = s_pad[nbr[i]] - q[i]
+            sqd = ((neigh[:, None, :] - kp[None]) ** 2).sum(-1)  # [K,Kp]
+            infl = np.clip(1 - np.sqrt(sqd) / extent, 0, None)
+            wf = infl.T @ x_pad[nbr[i]]                          # [Kp,Cin]
+            out[i] = np.einsum("pc,pcd->d", wf, w)
+        return out
+
+    def test_matches_reference_formula(self, rng):
+        q, qm = _cloud(rng, 20, 24)
+        s, sm = _cloud(rng, 30, 32)
+        x = rng.normal(size=(32, 5)).astype(np.float32)
+        kp = load_kernel_points(0.1, 15, "center", seed=1)
+        w = rng.normal(size=(15, 5, 6)).astype(np.float32)
+        nbr = np.asarray(radius_neighbors(
+            jnp.asarray(q), jnp.asarray(qm), jnp.asarray(s), jnp.asarray(sm),
+            0.25, 10))
+        got = np.asarray(kpconv_apply(
+            jnp.asarray(q), jnp.asarray(s), jnp.asarray(nbr), jnp.asarray(x),
+            jnp.asarray(kp), jnp.asarray(w), 0.1))
+        want = self._oracle(q, s, nbr, x, kp, w, 0.1)
+        np.testing.assert_allclose(got[qm], want[qm], rtol=1e-3, atol=1e-4)
+
+    def test_max_pool_zero_shadow(self, rng):
+        x = -np.abs(rng.normal(size=(5, 3))).astype(np.float32)  # all negative
+        nbr = np.array([[0, 1, 5], [5, 5, 5]], np.int32)
+        out = np.asarray(max_pool_zero_shadow(jnp.asarray(x), jnp.asarray(nbr)))
+        # shadow zero participates in the max (reference blocks.py:103-120)
+        np.testing.assert_allclose(out[0], np.maximum(x[:2].max(0), 0))
+        np.testing.assert_allclose(out[1], 0.0)
+
+
+class TestKernelPoints:
+    def test_lloyd_properties(self):
+        pts = spherical_lloyd(1.0, 15, fixed="center")
+        assert pts.shape == (15, 3)
+        np.testing.assert_allclose(pts[0], 0.0, atol=1e-6)  # fixed center
+        radii = np.linalg.norm(pts, axis=1)
+        assert radii.max() <= 1.01
+        # quasi-uniform: min pairwise distance reasonably large
+        d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        d[np.eye(15, dtype=bool)] = np.inf
+        assert d.min() > 0.2
+
+    def test_load_scaled_and_cached(self):
+        a = load_kernel_points(2.0, 15, seed=7)
+        b = load_kernel_points(2.0, 15, seed=7)
+        np.testing.assert_array_equal(a, b)  # deterministic
+        assert np.linalg.norm(a, axis=1).max() > 1.0  # scaled by radius
+
+
+class TestKPCNN:
+    def _batch(self, rng, bs=2, n=256, c=3, T=2):
+        from dpcr_agb_tpu.data.batch import Batch
+        pos = np.full((bs, n, 3), 1e6, np.float32)
+        mask = np.zeros((bs, n), bool)
+        x = np.zeros((bs, n, c), np.float32)
+        for b in range(bs):
+            nv = n - 30 - 30 * b
+            pos[b, :nv] = rng.uniform(0, 1, size=(nv, 3))
+            mask[b, :nv] = True
+            x[b, :nv] = rng.normal(size=(nv, c))
+        y = rng.normal(size=(bs, T)).astype(np.float32)
+        return Batch(pos=jnp.asarray(pos), x=jnp.asarray(x),
+                     mask=jnp.asarray(mask), y_reg=jnp.asarray(y),
+                     y_reg_mask=jnp.ones((bs, T), bool),
+                     area_idx=jnp.zeros(bs, jnp.int32),
+                     label_idx=jnp.arange(bs, dtype=jnp.int64),
+                     is_double=jnp.zeros(bs, bool))
+
+    def _net(self, arch=None):
+        return KPCNN(
+            architecture=arch or ["simple", "resnetb", "resnetb_strided",
+                                  "resnetb", "resnetb_strided", "resnetb",
+                                  "global_sum"],
+            num_reg_targets=2, in_features_dim=3,
+            first_subsampling_dl=0.05, neighborhood_limits=[12, 12, 12])
+
+    def test_forward_and_padding_invariance(self, rng):
+        net = self._net()
+        b = self._batch(rng)
+        variables = net.init(jax.random.PRNGKey(0), b, train=False)
+        out = net.apply(variables, b, train=False)
+        assert out.shape == (2, 2)
+        assert np.isfinite(np.asarray(out)).all()
+        b2 = dataclasses.replace(
+            b, x=b.x.at[:, -10:].set(123.0),
+            pos=b.pos.at[:, -10:].set(0.5))  # in-cloud-looking but masked
+        out2 = net.apply(variables, b2, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_flow(self, rng):
+        net = self._net()
+        b = self._batch(rng)
+        variables = net.init(jax.random.PRNGKey(0), b, train=False)
+
+        def loss(params):
+            out, _ = net.apply({"params": params,
+                                "batch_stats": variables["batch_stats"]},
+                               b, train=True, mutable=["batch_stats"])
+            return jnp.sum(jnp.square(out))
+
+        g = jax.grad(loss)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # at least the first kpconv weights receive signal
+        total = sum(float(jnp.abs(l).sum()) for l in leaves)
+        assert total > 0
+
+
+def test_fps_covers_cloud(rng):
+    pos, mask = _cloud(rng, 60, 64)
+    idx = np.asarray(fps(jnp.asarray(pos), jnp.asarray(mask), 8))
+    assert len(set(idx.tolist())) == 8
+    assert (idx < 60).all()
