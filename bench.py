@@ -16,6 +16,7 @@ vs_baseline = plots_per_sec / 100.0. Revisit when a measured GPU baseline
 exists.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -24,6 +25,14 @@ import numpy as np
 def main():
     import jax
     import optax
+
+    # persistent compilation cache: TPU compiles through the axon tunnel are
+    # slow (minutes); warm runs make the driver's bench invocation fast
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from __graft_entry__ import _example_batch, _flagship
     from dpcr_agb_tpu.models.base import InstanceSpec

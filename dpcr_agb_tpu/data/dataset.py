@@ -213,6 +213,24 @@ class RandomSampler:
         return idx[:n_keep]
 
 
+class BalancedRandomSampler:
+    """Class-balanced index stream (reference datasets/samplers.py:5-30):
+    sample indices with inverse-frequency class weights. Unused by the NFI
+    regression pipeline; provided for classification-task parity."""
+
+    def __init__(self, labels: np.ndarray, batch_size: int):
+        self.labels = np.asarray(labels)
+        self.batch_size = batch_size
+        classes, counts = np.unique(self.labels, return_counts=True)
+        weights = {c: 1.0 / n for c, n in zip(classes, counts)}
+        self.weights = np.array([weights[l] for l in self.labels])
+        self.weights /= self.weights.sum()
+
+    def indices(self, rng: np.random.Generator) -> np.ndarray:
+        n = (len(self.labels) // self.batch_size) * self.batch_size
+        return rng.choice(len(self.labels), size=n, p=self.weights)
+
+
 class LasDataset:
     """Dataset facade: label processing, per-split Las datasets, target stats,
     transform pipelines, tracker factory (las_dataset.py:536-1024)."""

@@ -155,6 +155,13 @@ def read_pt(path: str, feature_cols: List[str] = (),
         feats = (df[list(feature_cols)].values.astype(np.float32)
                  if feature_cols else None)
         return pos, feats, None
+    if ext == ".ply":
+        props = read_ply(path)
+        pos = np.stack([props["x"], props["y"], props["z"]],
+                       axis=1).astype(np.float32)
+        feats = (np.stack([props[c] for c in feature_cols],
+                          axis=1).astype(np.float32) if feature_cols else None)
+        return pos, feats, None
     if ext == ".npz":
         z = np.load(path)
         feats = z["features"].astype(np.float32) if "features" in z else None
@@ -162,3 +169,74 @@ def read_pt(path: str, feature_cols: List[str] = (),
     if ext == ".npy":
         return np.load(path).astype(np.float32), None, None
     raise LasReadError(f"Unsupported point file extension: {path}")
+
+
+# --- PLY (reference read_pt handles .ply via plyfile; minimal reader/writer
+# for binary_little_endian and ascii vertex elements) -------------------------
+
+_PLY_TYPES = {
+    "char": "i1", "uchar": "u1", "int8": "i1", "uint8": "u1",
+    "short": "i2", "ushort": "u2", "int16": "i2", "uint16": "u2",
+    "int": "i4", "uint": "u4", "int32": "i4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def read_ply(path: str) -> dict:
+    """Vertex properties of a PLY file -> {name: 1-D array}."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"not a PLY file: {path}")
+        fmt = None
+        n_vertex = 0
+        props = []
+        in_vertex = False
+        while True:
+            line = f.readline().strip().decode()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, count = line.split()
+                in_vertex = name == "vertex"
+                if in_vertex:
+                    n_vertex = int(count)
+            elif line.startswith("property") and in_vertex:
+                parts = line.split()
+                if parts[1] == "list":
+                    raise ValueError("list properties unsupported")
+                props.append((parts[2], _PLY_TYPES[parts[1]]))
+            elif line == "end_header":
+                break
+        if fmt == "ascii":
+            data = np.loadtxt(f, max_rows=n_vertex, ndmin=2)
+            return {name: data[:, i].astype(dt)
+                    for i, (name, dt) in enumerate(props)}
+        endian = "<" if fmt == "binary_little_endian" else ">"
+        dtype = np.dtype([(n, endian + d) for n, d in props])
+        arr = np.frombuffer(f.read(dtype.itemsize * n_vertex), dtype=dtype,
+                            count=n_vertex)
+        return {n: np.ascontiguousarray(arr[n]) for n, _ in props}
+
+
+def write_ply(path: str, pos: np.ndarray, **extra_props) -> None:
+    """Binary little-endian PLY with xyz + named scalar properties."""
+    pos = np.asarray(pos, np.float32)
+    names = ["x", "y", "z"] + list(extra_props)
+    cols = [pos[:, 0], pos[:, 1], pos[:, 2]] + [
+        np.asarray(v) for v in extra_props.values()]
+    dtype = np.dtype([(n, "<" + (c.dtype.str[1:] if c.dtype.str[1:] in
+                                 ("f4", "f8", "i4", "u1", "i2", "u2", "u4",
+                                  "i1") else "f4"))
+                      for n, c in zip(names, cols)])
+    rec = np.empty(len(pos), dtype=dtype)
+    for n, c in zip(names, cols):
+        rec[n] = c.astype(rec.dtype[n])
+    ply_type = {"f4": "float", "f8": "double", "i4": "int", "u1": "uchar",
+                "i1": "char", "i2": "short", "u2": "ushort", "u4": "uint"}
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(pos)}\n".encode())
+        for n in names:
+            f.write(f"property {ply_type[rec.dtype[n].str[1:]]} {n}\n".encode())
+        f.write(b"end_header\n")
+        f.write(rec.tobytes())

@@ -130,3 +130,28 @@ class APPRXMeter:
         if self.n == 0 or self.target_sum == 0.0:
             return 0.0
         return abs(1.0 - self.output_sum / self.target_sum)
+
+
+class APPRXMeter:
+    """|1 - sum(pred)/sum(target)| — aggregate-total approximation error
+    (reference metrics/meters/apprxmeter.py:4-25)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.pred_sum = 0.0
+        self.target_sum = 0.0
+        self.n = 0
+
+    def add(self, output, target):
+        output = _np(output)
+        target = _np(target)
+        self.pred_sum += float(output.sum())
+        self.target_sum += float(target.sum())
+        self.n += output.size
+
+    def value(self) -> float:
+        if self.n == 0 or self.target_sum == 0:
+            return float("nan")
+        return abs(1.0 - self.pred_sum / self.target_sum)

@@ -192,7 +192,9 @@ class KPCNN(nn.Module):
         return levels, global_block
 
     @nn.compact
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False,
+                 enable_dropout: bool = False):
+        del enable_dropout  # KPCNN has no dropout modules (architectures.py)
         levels, global_block = self._layer_plan()
         n_levels = len(levels)
         act = ACTIVATIONS[self.activation]

@@ -61,7 +61,7 @@ class SparseConv(nn.Module):
     features: int
     kernel_volume: int            # K = kernel_size**3 (1 for pointwise)
     use_bias: bool = True
-    offset_chunk: int = 3
+    offset_chunk: Any = None      # None = auto (ops/voxel.py target_cols)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -194,7 +194,10 @@ class SparseResNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False,
+                 enable_dropout: bool = False):
+        """enable_dropout keeps the head Dropout active in eval (the
+        reference's enable_dropout_in_eval, base_model.py:352-360)."""
         if batch.coords is None:
             raise ValueError("SparseResNet requires quantized coords "
                              "(use a sparse transform preset)")
@@ -276,7 +279,7 @@ class SparseResNet(nn.Module):
         # ---- head ----
         g = GLOBAL_POOL[self.global_pool](h.astype(jnp.float32),
                                           grids[level].mask)
-        g = Dropout(self.dropout)(g, deterministic=not train)
+        g = Dropout(self.dropout)(g, deterministic=not (train or enable_dropout))
         return SeparateLinear(self.num_reg_targets, name="final")(g)
 
 

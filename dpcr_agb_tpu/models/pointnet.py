@@ -31,7 +31,10 @@ class MPointNet(nn.Module):
     bn_axis_name: Any = None
 
     @nn.compact
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False,
+                 enable_dropout: bool = False):
+        """enable_dropout keeps Dropout active in eval mode — the reference's
+        enable_dropout_in_eval for MC-style voting (base_model.py:352-360)."""
         act = ACTIVATIONS[self.activation]
         mask = batch.mask
         feats = batch.x.astype(jnp.float32)
@@ -64,5 +67,5 @@ class MPointNet(nn.Module):
 
         g = pooled_block(g, 512, "m1")
         g = pooled_block(g, 256, "m2")
-        g = Dropout(self.dropout)(g, deterministic=not train)
+        g = Dropout(self.dropout)(g, deterministic=not (train or enable_dropout))
         return SeparateLinear(self.num_reg_targets, name="final")(g)

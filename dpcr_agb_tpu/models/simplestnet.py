@@ -20,7 +20,9 @@ class SimplestNet(nn.Module):
     bn_axis_name: Any = None
 
     @nn.compact
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False,
+                 enable_dropout: bool = False):
+        del enable_dropout  # no dropout in this model
         mask = batch.mask
         h = jnp.concatenate([batch.x.astype(jnp.float32),
                              batch.pos.astype(jnp.float32)], -1)

@@ -147,18 +147,22 @@ def gather_neighbors(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def sparse_conv_apply(feats: jnp.ndarray, nbr_idx: jnp.ndarray,
-                      weights: jnp.ndarray, offset_chunk: int = 1,
-                      precision=None) -> jnp.ndarray:
+                      weights: jnp.ndarray, offset_chunk: Optional[int] = None,
+                      target_cols: int = 256) -> jnp.ndarray:
     """Gather–matmul–accumulate convolution.
 
     feats [V_in, Cin]; nbr_idx [K, V_out] (V_in = shadow); weights
     [K, Cin, Cout]. Returns [V_out, Cout] f32. Scans over offset chunks so
-    the gathered neighbor tensor never exceeds [chunk, V_out, Cin].
+    the gathered neighbor tensor never exceeds [chunk, V_out, Cin]; the
+    default chunk targets ~target_cols gathered columns per step, which keeps
+    the matmul K-dimension MXU-sized while bounding the transient gather.
     """
     k = nbr_idx.shape[0]
     cin = feats.shape[-1]
     cout = weights.shape[-1]
     v_out = nbr_idx.shape[1]
+    if offset_chunk is None:
+        offset_chunk = max(1, target_cols // max(cin, 1))
     padded = jnp.concatenate(
         [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
 

@@ -167,6 +167,20 @@ def linear_warmup_cosine_annealing(base_lr: float, warmup_epochs: int,
     return sched
 
 
+def cyclic_lr(base_lr: float, max_lr: float, step_size_up: int = 2000,
+              step_size_down: Optional[int] = None) -> Callable:
+    """torch CyclicLR 'triangular' mode."""
+    down = step_size_down or step_size_up
+    period = step_size_up + down
+
+    def sched(count):
+        t = jnp.mod(jnp.asarray(count, jnp.float32), period)
+        frac = jnp.where(t < step_size_up, t / step_size_up,
+                         1.0 - (t - step_size_up) / down)
+        return base_lr + (max_lr - base_lr) * frac
+    return sched
+
+
 def constant(base_lr: float) -> Callable:
     return lambda count: jnp.asarray(base_lr, jnp.float32)
 
@@ -181,8 +195,12 @@ SCHEDULERS = {
     "SquaredLR": lambda base_lr, **p: squared_lr(base_lr, **p),
     "LinearWarmupCosineAnnealingLR":
         lambda base_lr, **p: linear_warmup_cosine_annealing(base_lr, **p),
+    "CyclicLR": lambda base_lr, **p: cyclic_lr(
+        p.pop("base_lr", base_lr) if isinstance(p, dict) else base_lr, **p),
     "constant": lambda base_lr, **p: constant(base_lr),
 }
+# ReduceLROnPlateau needs a metric signal, which breaks the pure
+# lr(step) model — unsupported; the config raises a clear error.
 
 
 def make_lr_fn(scheduler_cfg, base_lr: float, update_on: str = "on_epoch",

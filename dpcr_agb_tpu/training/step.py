@@ -25,9 +25,9 @@ from .state import TrainState
 
 
 def _forward(net, spec: InstanceSpec, params, batch_stats, batch, train: bool,
-             dropout_rng=None):
+             dropout_rng=None, enable_dropout: bool = False):
     variables = {"params": params, "batch_stats": batch_stats}
-    kwargs = {}
+    kwargs = {"enable_dropout": enable_dropout} if enable_dropout else {}
     if dropout_rng is not None:
         kwargs["rngs"] = {"dropout": dropout_rng}
     if train:
@@ -42,12 +42,15 @@ def _forward(net, spec: InstanceSpec, params, batch_stats, batch, train: bool,
 
 
 def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
-                    mesh=None) -> Callable:
+                    mesh=None, regularizer: Optional[Callable] = None,
+                    ) -> Callable:
     def loss_fn(params, batch_stats, batch, dropout_rng):
         reg_out, new_stats = _forward(net, spec, params, batch_stats, batch,
                                       train=True, dropout_rng=dropout_rng)
         loss = compute_reg_loss(spec, reg_out, batch.y_reg, batch.y_reg_mask,
                                 training=True)
+        if regularizer is not None:
+            loss = loss + regularizer(params)
         return loss, (new_stats, reg_out)
 
     def step(params, batch_stats, opt_state, batch, dropout_rng):
@@ -67,12 +70,15 @@ def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
 
 
 def make_eval_step(net, spec: InstanceSpec, mesh=None,
-                   train_mode: bool = False) -> Callable:
+                   train_mode: bool = False,
+                   enable_dropout: bool = False) -> Callable:
     """Forward-only. train_mode=True reproduces calibrate_bn (BN running-stat
-    updates under no_grad, calibrate_bn.py:8-21) and enable_bn_in_eval."""
+    updates under no_grad, calibrate_bn.py:8-21) / enable_bn_in_eval;
+    enable_dropout=True keeps Dropout live (enable_dropout_in_eval)."""
     def step(params, batch_stats, batch, dropout_rng=None):
         reg_out, new_stats = _forward(net, spec, params, batch_stats, batch,
-                                      train=train_mode, dropout_rng=dropout_rng)
+                                      train=train_mode, dropout_rng=dropout_rng,
+                                      enable_dropout=enable_dropout)
         loss = compute_reg_loss(spec, reg_out, batch.y_reg, batch.y_reg_mask,
                                 training=False)
         out = {"loss": loss, "loss_reg": loss,
@@ -94,10 +100,14 @@ class StepRunner:
     tx: optax.GradientTransformation
     mesh: Any = None
     seed: int = 0
+    regularizer: Optional[Callable] = None
 
     def __post_init__(self):
-        self._train_step = make_train_step(self.net, self.spec, self.tx, self.mesh)
+        self._train_step = make_train_step(self.net, self.spec, self.tx,
+                                           self.mesh, self.regularizer)
         self._eval_step = make_eval_step(self.net, self.spec, self.mesh, False)
+        self._eval_step_dropout = make_eval_step(self.net, self.spec,
+                                                 self.mesh, False, True)
         self._calib_step = make_eval_step(self.net, self.spec, self.mesh, True)
         self._root_rng = jax.random.PRNGKey(self.seed)
 
@@ -127,10 +137,13 @@ class StepRunner:
 
     def evaluate(self, state: TrainState, batch, enable_dropout: bool = False,
                  rng_salt: int = 0) -> Dict[str, Any]:
-        rng = (jax.random.fold_in(self._root_rng, 10_000_019 + rng_salt)
-               if enable_dropout else None)
-        _, out = self._eval_step(state.params, state.batch_stats,
-                                 self._put(batch), rng)
+        if enable_dropout:
+            rng = jax.random.fold_in(self._root_rng, 10_000_019 + rng_salt)
+            _, out = self._eval_step_dropout(state.params, state.batch_stats,
+                                             self._put(batch), rng)
+        else:
+            _, out = self._eval_step(state.params, state.batch_stats,
+                                     self._put(batch), None)
         return out
 
     def calibrate(self, state: TrainState, batch) -> tuple:

@@ -65,6 +65,9 @@ class Trainer:
         self.early_break = bool(dbg.get("early_break", False))
         self.num_batches_stop = dbg.get("num_batches", 0) or 0
         self.profiling = bool(dbg.get("profiling", False))
+        self.find_neighbour_dist = bool(dbg.get("find_neighbour_dist", False))
+        self.num_find_neighbour_samples = int(
+            dbg.get("num_find_neighbour_samples", 32))
 
         checkpoint_dir = str(get_t("checkpoint_dir", "") or "")
         self.resume = bool(checkpoint_dir)
@@ -87,6 +90,13 @@ class Trainer:
         self.dataset = instantiate_dataset(cfg["data"])
         self.bundle: ModelBundle = instantiate_model(
             cfg["models"], self.model_name, self.dataset, bn_axis_name=None)
+        if bool(get_t("enable_mixed", False)) and hasattr(self.bundle.net,
+                                                          "dtype"):
+            # TPU mixed precision: bf16 compute, f32 params/BN stats —
+            # replaces the reference's AMP GradScaler (SURVEY.md §2.10)
+            import jax.numpy as jnp
+            self.bundle.net = dataclasses.replace(self.bundle.net,
+                                                  dtype=jnp.bfloat16)
 
         # mesh: data-parallel over all visible devices that divide batch_size
         n_dev = len(jax.devices())
@@ -106,14 +116,27 @@ class Trainer:
             batch_size=self.batch_size)
         self.tx = self._build_optimizer(optim_cfg)
 
+        from .regularizers import build_regularizer
         self.runner = StepRunner(net=self.bundle.net, spec=self.bundle.spec,
-                                 tx=self.tx, mesh=self.mesh, seed=self.seed)
+                                 tx=self.tx, mesh=self.mesh, seed=self.seed,
+                                 regularizer=build_regularizer(
+                                     self.bundle.option))
+        self.bn_momentum_fn = None
+        bn_sched = optim_cfg.get("bn_scheduler")
+        if bn_sched:
+            from .optim import bn_momentum_fn
+            self.bn_momentum_fn = bn_momentum_fn(bn_sched)
         example = self._example_batch()
         self.state = self.runner.init_state(example)
         self._maybe_restore_weights()
 
         wandb_log = bool(self.training_cfg.get("wandb", {}).get("log", False)) \
             if self.training_cfg.get("wandb") else False
+        if wandb_log:
+            from ..utils.wandb_utils import wandb_init
+            self._wandb_run = wandb_init(self.training_cfg.get("wandb"),
+                                         run_config, self.run_dir)
+            wandb_log = self._wandb_run is not None
         tb_log = bool(self.training_cfg.get("tensorboard", {}).get("log", False)) \
             if self.training_cfg.get("tensorboard") else False
         self.tracker = self.dataset.get_tracker(wandb_log, tb_log,
@@ -202,6 +225,13 @@ class Trainer:
         return self.checkpoint.start_epoch
 
     def train(self) -> None:
+        if self.find_neighbour_dist:
+            from ..utils.neighbor_calibration import run_find_neighbour_dist
+            limits = run_find_neighbour_dist(
+                self.dataset, self.bundle.option,
+                self.num_find_neighbour_samples)
+            log.info(f"calibrated neighborhood_limits: {limits} "
+                     "(pass via models.<name>.extra_options.neighborhood_limits)")
         start = self.start_epoch
         if start > self.epochs:
             # resume-finished: single final test epoch (trainer.py:214-217)
@@ -239,18 +269,43 @@ class Trainer:
                 self.state, "train", self.start_epoch - 1, metrics,
                 self.tracker.metric_func, self.optimizer_name)
 
+    def _apply_bn_schedule(self, epoch: int) -> None:
+        """BNMomentumScheduler parity (bn_schedulers.py:6-112): flax module
+        attrs are static, so a momentum change rebuilds the net + jit."""
+        if self.bn_momentum_fn is None:
+            return
+        m = self.bn_momentum_fn(epoch)
+        for attr in ("bn_momentum", "batch_norm_momentum"):
+            if hasattr(self.bundle.net, attr) and \
+                    getattr(self.bundle.net, attr) != m:
+                log.info(f"BN momentum -> {m:.4f} (epoch {epoch})")
+                self.bundle.net = dataclasses.replace(self.bundle.net,
+                                                      **{attr: m})
+                self.runner = dataclasses.replace(self.runner,
+                                                  net=self.bundle.net)
+                self.runner.__post_init__()
+
     def _train_epoch(self, epoch: int) -> None:
+        self._apply_bn_schedule(epoch)
         self.tracker.reset("train")
         self.visualizer.reset(epoch, "train")
         loader = self.loaders["train"]
         t0 = time.time()
         n_batches = len(loader)
+        profiling = self.profiling and self.num_batches_stop
+        if profiling:
+            import jax.profiler
+            jax.profiler.start_trace(str(Path(self.run_dir) / "profile"))
         for bi, batch in enumerate(loader.epoch(epoch)):
             self.state, out = self.runner.train(self.state, batch)
             if bi % 10 == 0:  # track every 10th batch (trainer.py:333-335)
                 self._track(batch, out)
             if self._stop_early(bi):
                 break
+        if profiling:
+            import jax.profiler
+            jax.profiler.stop_trace()
+            log.info(f"profile trace written to {self.run_dir}/profile")
         self.state = dataclasses.replace(self.state, epoch=epoch)
         dur = time.time() - t0
         log.info(f"train epoch {epoch}: {n_batches} batches in {dur:.1f}s "
@@ -263,11 +318,19 @@ class Trainer:
         self.visualizer.reset(epoch, stage)
         voting_runs = int(self._cfg.get("voting_runs", 1) or 1)
         enable_dropout = bool(self._cfg.get("enable_dropout", False))
+        enable_bn = bool(self._cfg.get("enable_bn", False))
         for run in range(voting_runs):
             for bi, batch in enumerate(loader.epoch(run)):
-                out = self.runner.evaluate(self.state, batch,
-                                           enable_dropout=enable_dropout,
-                                           rng_salt=run * 100003 + bi)
+                if enable_bn:
+                    # BN in train mode during eval (enable_bn_in_eval,
+                    # base_model.py:362-368) — batch stats, not persisted
+                    _, out = self.runner._calib_step(
+                        self.state.params, self.state.batch_stats,
+                        self.runner._put(batch), None)
+                else:
+                    out = self.runner.evaluate(self.state, batch,
+                                               enable_dropout=enable_dropout,
+                                               rng_salt=run * 100003 + bi)
                 self._track(batch, out)
                 self._visualize(batch, out)
                 if self._stop_early(bi):

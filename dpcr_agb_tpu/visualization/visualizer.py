@@ -57,8 +57,10 @@ class Visualizer:
         for i in range(len(reg_out)):
             if sample_mask is not None and not sample_mask[i]:
                 continue
-            row = {"area": area_names[int(area_idx[i])],
-                   "label_idx": int(label_idx[i])}
+            ai = int(area_idx[i])
+            area = area_names[ai] if 0 <= ai < len(area_names) \
+                else f"area{ai}"
+            row = {"area": area, "label_idx": int(label_idx[i])}
             for t, name in enumerate(reg_targets):
                 row[f"pred_{name}"] = float(reg_out[i, t])
                 row[f"y_{name}"] = float(y_reg[i, t])
