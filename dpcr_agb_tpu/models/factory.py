@@ -68,6 +68,12 @@ def _build_kpconv(option, dataset, bn_axis_name):
     return build_kpconv(option, dataset, bn_axis_name), "PARTIAL_DENSE"
 
 
+@register_builder("pointnext.PointNext")
+def _build_pointnext(option, dataset, bn_axis_name):
+    from .pointnext import build_pointnext
+    return build_pointnext(option, dataset, bn_axis_name), "PARTIAL_DENSE"
+
+
 def _collate_spec(conv_type: str, option, dataset) -> CollateSpec:
     dataset_opt = getattr(dataset, "dataset_opt", {})
     get = dataset_opt.get if hasattr(dataset_opt, "get") else dict(dataset_opt).get

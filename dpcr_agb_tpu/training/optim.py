@@ -204,10 +204,13 @@ SCHEDULERS = {
 
 
 def make_lr_fn(scheduler_cfg, base_lr: float, update_on: str = "on_epoch",
-               batches_per_epoch: int = 1, batch_size: int = 1) -> Callable:
+               batches_per_epoch: int = 1, batch_size: int = 1,
+               steps_per_update: int = 1) -> Callable:
     """Build lr(update_count) honoring the update policy
     (base_model.py:209-228): the torch scheduler is stepped once per epoch /
-    batch / sample; here the policy rescales the update counter."""
+    batch / sample; here the policy rescales the update counter.
+    steps_per_update > 1 under gradient accumulation keeps per-batch
+    scheduler stepping semantics."""
     if scheduler_cfg is None:
         return constant(base_lr)
     get = scheduler_cfg.get if hasattr(scheduler_cfg, "get") else scheduler_cfg.__getitem__
@@ -218,7 +221,7 @@ def make_lr_fn(scheduler_cfg, base_lr: float, update_on: str = "on_epoch",
               if k != "lr"}
     sched = SCHEDULERS[name](base_lr, **params)
     if update_on == "on_num_batch":
-        scale = 1
+        scale = steps_per_update
     elif update_on == "on_num_sample":
         scale = batch_size
     else:  # on_epoch

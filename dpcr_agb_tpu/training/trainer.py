@@ -109,11 +109,13 @@ class Trainer:
         # optimizer
         optim_cfg = self.training_cfg.get("optim", {}) or {}
         base_lr = float(optim_cfg.get("base_lr", 1e-3))
+        accum = int(optim_cfg.get("accumulated_gradient", 1) or 1)
         self.lr_fn = make_lr_fn(
             optim_cfg.get("lr_scheduler"), base_lr, self.update_lr_on,
-            batches_per_epoch=max(len(self.loaders.get("train"))
-                                  if self.loaders.get("train") else 1, 1),
-            batch_size=self.batch_size)
+            batches_per_epoch=max((len(self.loaders.get("train"))
+                                   if self.loaders.get("train") else 1)
+                                  // accum, 1),
+            batch_size=self.batch_size * accum, steps_per_update=accum)
         self.tx = self._build_optimizer(optim_cfg)
 
         from .regularizers import build_regularizer
@@ -172,7 +174,13 @@ class Trainer:
         else:
             raise ValueError(f"Unknown optimizer: {name}")
         self.optimizer_name = name
-        return optax.chain(*chain)
+        tx = optax.chain(*chain)
+        accum = int(optim_cfg.get("accumulated_gradient", 1) or 1)
+        if accum > 1:
+            # reference gradient accumulation (base_model.py:195-207):
+            # optimizer steps every `accum` batches with averaged grads
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
 
     def _create_loaders(self) -> None:
         spec: CollateSpec = self.bundle.collate

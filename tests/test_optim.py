@@ -102,3 +102,17 @@ def test_make_lr_fn_policies():
     np.testing.assert_allclose(float(on_epoch(5)), float(on_epoch(95)),
                                rtol=1e-6)
     assert abs(float(on_batch(5)) - float(on_batch(0))) > 1e-5
+
+
+def test_gradient_accumulation_multisteps():
+    """optax.MultiSteps wrapper: params move only every k batches, averaged."""
+    import optax
+    from dpcr_agb_tpu.training.optim import adabelief
+    tx = optax.MultiSteps(adabelief(0.01), every_k_schedule=2)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    upd1, state = tx.update(g, state, params)
+    assert float(jnp.abs(upd1["w"]).sum()) == 0.0  # accumulating
+    upd2, state = tx.update(g, state, params)
+    assert float(jnp.abs(upd2["w"]).sum()) > 0.0   # applied
