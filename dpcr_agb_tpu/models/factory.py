@@ -80,13 +80,20 @@ def _collate_spec(conv_type: str, option, dataset) -> CollateSpec:
     if conv_type == "SPARSE":
         return CollateSpec(conv_type="sparse", use_coords=True,
                            min_bucket=int(get("min_bucket", 1024)))
-    fixed = get("fixed", None)
+    # the pad size comes from the data preset's fixed point count; a model's
+    # own num_points is an FPS target applied inside the model
+    # (kpconv.py:49-67, pointnext.py:134-151), not the collate size
+    tt = get("transform_type", None)
     num_points = None
-    if fixed is not None:
-        num_points = fixed.get("num_points") if hasattr(fixed, "get") \
-            else fixed["num_points"]
-    if option.get("num_points"):
-        num_points = option["num_points"]
+    preset = get(str(tt), None) if tt else None
+    if preset is not None:
+        num_points = preset.get("num_points") if hasattr(preset, "get") \
+            else None
+    if num_points is None:
+        fixed = get("fixed", None)
+        if fixed is not None:
+            num_points = fixed.get("num_points") if hasattr(fixed, "get") \
+                else fixed["num_points"]
     return CollateSpec(conv_type="dense", num_points=num_points,
                        min_bucket=int(get("min_bucket", 1024)))
 

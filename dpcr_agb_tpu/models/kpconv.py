@@ -46,18 +46,27 @@ SHADOW_POS = 1e6
 
 
 def kpconv_apply(q_pts, s_pts, nbr, x, kernel_pts, weights, extent,
-                 influence: str = "linear", aggregation: str = "sum"):
+                 influence: str = "linear", aggregation: str = "sum",
+                 offsets=None, modulations=None):
     """Core KPConv op (blocks.py:296-400), per sample.
 
     q_pts [Nq,3]; s_pts [Ns,3]; nbr [Nq,K] (Ns = shadow); x [Ns,Cin];
-    kernel_pts [Kp,3]; weights [Kp,Cin,Cout]. Returns [Nq,Cout] f32.
+    kernel_pts [Kp,3]; weights [Kp,Cin,Cout]. Deformable variant: offsets
+    [Nq,Kp,3] shift the kernel points per query, modulations [Nq,Kp] scale
+    the per-kernel-point features (blocks.py:264-351). Returns [Nq,Cout] f32
+    (plus min_d2 [Nq,Kp] when deformable — for the p2p fitting loss).
     """
     ns = s_pts.shape[0]
     s_pad = jnp.concatenate(
         [s_pts, jnp.full((1, 3), SHADOW_POS, s_pts.dtype)], axis=0)
     neighbors = s_pad[nbr] - q_pts[:, None, :]               # [Nq,K,3]
-    diff = neighbors[:, :, None, :] - kernel_pts[None, None, :, :]
+    if offsets is not None:
+        kp = kernel_pts[None, None, :, :] + offsets[:, None, :, :]
+    else:
+        kp = kernel_pts[None, None, :, :]
+    diff = neighbors[:, :, None, :] - kp
     sq_d = jnp.sum(jnp.square(diff), axis=-1)                # [Nq,K,Kp]
+    min_d2 = jnp.min(sq_d, axis=1) if offsets is not None else None
 
     if influence == "constant":
         all_w = jnp.ones_like(sq_d)
@@ -81,8 +90,13 @@ def kpconv_apply(q_pts, s_pts, nbr, x, kernel_pts, weights, extent,
         [x, jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0)
     neighb_x = x_pad[nbr]                                    # [Nq,K,Cin]
     weighted = jnp.einsum("qpk,qkc->qpc", all_w, neighb_x)   # [Nq,Kp,Cin]
-    return jnp.einsum("qpc,pcd->qd", weighted, weights,
-                      preferred_element_type=jnp.float32)
+    if modulations is not None:
+        weighted = weighted * modulations[:, :, None]
+    out = jnp.einsum("qpc,pcd->qd", weighted, weights,
+                     preferred_element_type=jnp.float32)
+    if offsets is not None:
+        return out, min_d2
+    return out
 
 
 def max_pool_zero_shadow(x, nbr):
@@ -104,16 +118,64 @@ class KPConvOp(nn.Module):
     extent: float
     influence: str = "linear"
     aggregation: str = "sum"
+    deformable: bool = False
+    modulated: bool = False
+    deform_fitting_power: float = 1.0
+    repulse_extent: float = 1.2
 
     @nn.compact
     def __call__(self, q_pts, s_pts, nbr, x):
         """Batched: q_pts [B,Nq,3], s_pts [B,Ns,3], nbr [B,Nq,K], x [B,Ns,C]."""
         kp = jnp.asarray(self.kernel_points)
+        n_kp = kp.shape[0]
         weights = self.param("weights", _kp_weight_init,
-                             (kp.shape[0], x.shape[-1], self.out_channels))
-        return jax.vmap(lambda q, s, n, f: kpconv_apply(
-            q, s, n, f, kp, weights, self.extent, self.influence,
-            self.aggregation))(q_pts, s_pts, nbr, x)
+                             (n_kp, x.shape[-1], self.out_channels))
+        if not self.deformable:
+            return jax.vmap(lambda q, s, n, f: kpconv_apply(
+                q, s, n, f, kp, weights, self.extent, self.influence,
+                self.aggregation))(q_pts, s_pts, nbr, x)
+
+        # deformable: a rigid offset sub-conv predicts per-query kernel-point
+        # offsets (+ modulations), zero-initialized bias (blocks.py:213-247)
+        offset_dim = (3 + 1) * n_kp if self.modulated else 3 * n_kp
+        off_w = self.param("offset_weights", _kp_weight_init,
+                           (n_kp, x.shape[-1], offset_dim))
+        off_b = self.param("offset_bias", nn.initializers.zeros, (offset_dim,))
+        off_feat = jax.vmap(lambda q, s, n, f: kpconv_apply(
+            q, s, n, f, kp, off_w, self.extent, self.influence,
+            self.aggregation))(q_pts, s_pts, nbr, x) + off_b
+        unscaled = off_feat[..., : 3 * n_kp].reshape(
+            *off_feat.shape[:-1], n_kp, 3)
+        offsets = unscaled * self.extent
+        modulations = (2.0 * jax.nn.sigmoid(off_feat[..., 3 * n_kp:])
+                       if self.modulated else None)
+
+        def apply_one(q, s, n, f, o, m):
+            return kpconv_apply(q, s, n, f, kp, weights, self.extent,
+                                self.influence, self.aggregation,
+                                offsets=o, modulations=m)
+        if modulations is None:
+            out, min_d2 = jax.vmap(
+                lambda q, s, n, f, o: apply_one(q, s, n, f, o, None))(
+                q_pts, s_pts, nbr, x, offsets)
+        else:
+            out, min_d2 = jax.vmap(apply_one)(q_pts, s_pts, nbr, x, offsets,
+                                              modulations)
+
+        # p2p fitting + repulsive regularizer (architectures.py:32-64)
+        ext2 = self.extent * self.extent
+        fitting = jnp.mean(jnp.abs(min_d2 / ext2))
+        kp_locs = (kp[None, None] + offsets) / self.extent   # [B,Nq,Kp,3]
+        d = jnp.sqrt(jnp.sum(jnp.square(
+            kp_locs[:, :, :, None, :]
+            - jax.lax.stop_gradient(kp_locs)[:, :, None, :, :]), -1))
+        off_diag = 1.0 - jnp.eye(n_kp)
+        rep = jnp.square(jnp.minimum(d - self.repulse_extent, 0.0)) * off_diag
+        repulsive = jnp.mean(jnp.sum(rep, axis=(-1, -2))) / n_kp
+        self.sow("losses", "deform_reg",
+                 self.deform_fitting_power * (2.0 * fitting + repulsive),
+                 init_fn=lambda: jnp.zeros(()), reduce_fn=lambda a, b: a + b)
+        return out
 
 
 class BatchNormBlock(nn.Module):
@@ -172,6 +234,10 @@ class KPCNN(nn.Module):
     neighborhood_limits: Optional[Sequence[int]] = None
     kernel_seed: int = 42
     bn_axis_name: Any = None
+    deform_radius: float = 5.0
+    modulated: bool = False
+    deform_fitting_power: float = 1.0
+    repulse_extent: float = 1.2
 
     def _layer_plan(self):
         """Split the architecture into per-level block lists; returns
@@ -207,13 +273,19 @@ class KPCNN(nn.Module):
         klims = list(self.neighborhood_limits or [40] * n_levels)
 
         # ---- device pyramid: points, conv neighbors, pool neighbors ----
+        # deformable layers search with the larger deform radius
+        # (kpconv.py:178-184,203-208)
+        deform_scale = self.deform_radius / self.conv_radius
+        level_deform = [any("deformable" in b for b in lv) for lv in levels]
         pts = [(pos.astype(jnp.float32), mask)]
         conv_nbrs, pool_nbrs = [], []
         r = self.first_subsampling_dl * self.conv_radius
         for l in range(n_levels):
             p_l, m_l = pts[l]
+            r_search = r * deform_scale if level_deform[l] else r
             conv_nbrs.append(jax.vmap(
-                lambda q, qm, s, sm: radius_neighbors(q, qm, s, sm, r, klims[l])
+                lambda q, qm, s, sm: radius_neighbors(q, qm, s, sm, r_search,
+                                                      klims[l])
             )(p_l, m_l, p_l, m_l))
             if l < n_levels - 1:
                 dl = 2 * r / self.conv_radius
@@ -221,8 +293,8 @@ class KPCNN(nn.Module):
                     lambda p, m: grid_subsample(p, m, dl, caps[l + 1])
                 )(p_l, m_l)
                 pool_nbrs.append(jax.vmap(
-                    lambda q, qm, s, sm: radius_neighbors(q, qm, s, sm, r,
-                                                          klims[l])
+                    lambda q, qm, s, sm: radius_neighbors(q, qm, s, sm,
+                                                          r_search, klims[l])
                 )(p_n, m_n, p_l, m_l))
                 pts.append((p_n, m_n))
             r *= 2
@@ -251,10 +323,13 @@ class KPCNN(nn.Module):
                               use_bn=self.use_batch_norm,
                               bn_momentum=self.batch_norm_momentum,
                               bn_axis_name=self.bn_axis_name)
+                deform = "deformable" in block
                 if block.startswith("simple"):
                     width = out_dim // 2
                     x = KPConvOp(width, kp_disp, extent, self.kp_influence,
-                                 self.aggregation_mode,
+                                 self.aggregation_mode, deform,
+                                 self.modulated, self.deform_fitting_power,
+                                 self.repulse_extent,
                                  name=f"block{bi}_kpconv")(p_l, p_l, nbr, x)
                     x = BatchNormBlock(width, self.use_batch_norm,
                                        self.batch_norm_momentum,
@@ -265,7 +340,7 @@ class KPCNN(nn.Module):
                 elif block.startswith("resnetb"):
                     x = self._resnet_block(
                         bi, x, in_dim, out_dim, p_l, q_pts, nbr, m_l, q_mask,
-                        kp_disp, extent, strided, train, common)
+                        kp_disp, extent, strided, train, common, deform)
                     in_dim = out_dim
                 elif block == "unary":
                     x = UnaryBlock(out_dim, no_relu=False, **common,
@@ -294,7 +369,8 @@ class KPCNN(nn.Module):
         return SeparateLinear(self.num_reg_targets, name="final")(g)
 
     def _resnet_block(self, bi, x, in_dim, out_dim, p_l, q_pts, nbr, in_mask,
-                      q_mask, kp_disp, extent, strided, train, common):
+                      q_mask, kp_disp, extent, strided, train, common,
+                      deform: bool = False):
         """ResnetBottleneckBlock (blocks.py:594-680)."""
         quarter = out_dim // 4
         h = x
@@ -302,7 +378,8 @@ class KPCNN(nn.Module):
             h = UnaryBlock(quarter, no_relu=False, **common,
                            name=f"block{bi}_unary1")(h, in_mask, train)
         h = KPConvOp(quarter, kp_disp, extent, self.kp_influence,
-                     self.aggregation_mode,
+                     self.aggregation_mode, deform, self.modulated,
+                     self.deform_fitting_power, self.repulse_extent,
                      name=f"block{bi}_kpconv")(q_pts, p_l, nbr, h)
         h = BatchNormBlock(quarter, self.use_batch_norm,
                            self.batch_norm_momentum, self.bn_axis_name,
@@ -347,4 +424,8 @@ def build_kpconv(option, dataset, bn_axis_name=None):
         point_fracs=extra.get("point_fracs"),
         neighborhood_limits=extra.get("neighborhood_limits"),
         bn_axis_name=bn_axis_name,
+        deform_radius=float(get("deform_radius", 5.0)),
+        modulated=bool(get("modulated", False)),
+        deform_fitting_power=float(get("deform_fitting_power", 1.0)),
+        repulse_extent=float(get("repulse_extent", 1.2)),
     )

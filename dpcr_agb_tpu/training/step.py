@@ -32,23 +32,29 @@ def _forward(net, spec: InstanceSpec, params, batch_stats, batch, train: bool,
         kwargs["rngs"] = {"dropout": dropout_rng}
     if train:
         raw, mutated = net.apply(variables, batch, train=True,
-                                 mutable=["batch_stats"], **kwargs)
+                                 mutable=["batch_stats", "losses"], **kwargs)
         new_stats = mutated["batch_stats"]
+        # internal losses sown by modules (e.g. deformable-KPConv p2p
+        # regularizer, architectures.py:153-166)
+        internal = sum(jnp.sum(leaf) for leaf in
+                       jax.tree_util.tree_leaves(mutated.get("losses", {})))
     else:
         raw = net.apply(variables, batch, train=False, **kwargs)
         new_stats = batch_stats
+        internal = 0.0
     reg_out = convert_outputs(spec, raw)
-    return reg_out, new_stats
+    return reg_out, new_stats, internal
 
 
 def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
                     mesh=None, regularizer: Optional[Callable] = None,
                     ) -> Callable:
     def loss_fn(params, batch_stats, batch, dropout_rng):
-        reg_out, new_stats = _forward(net, spec, params, batch_stats, batch,
-                                      train=True, dropout_rng=dropout_rng)
+        reg_out, new_stats, internal = _forward(
+            net, spec, params, batch_stats, batch, train=True,
+            dropout_rng=dropout_rng)
         loss = compute_reg_loss(spec, reg_out, batch.y_reg, batch.y_reg_mask,
-                                training=True)
+                                training=True) + internal
         if regularizer is not None:
             loss = loss + regularizer(params)
         return loss, (new_stats, reg_out)
@@ -76,9 +82,9 @@ def make_eval_step(net, spec: InstanceSpec, mesh=None,
     updates under no_grad, calibrate_bn.py:8-21) / enable_bn_in_eval;
     enable_dropout=True keeps Dropout live (enable_dropout_in_eval)."""
     def step(params, batch_stats, batch, dropout_rng=None):
-        reg_out, new_stats = _forward(net, spec, params, batch_stats, batch,
-                                      train=train_mode, dropout_rng=dropout_rng,
-                                      enable_dropout=enable_dropout)
+        reg_out, new_stats, _ = _forward(
+            net, spec, params, batch_stats, batch, train=train_mode,
+            dropout_rng=dropout_rng, enable_dropout=enable_dropout)
         loss = compute_reg_loss(spec, reg_out, batch.y_reg, batch.y_reg_mask,
                                 training=False)
         out = {"loss": loss, "loss_reg": loss,

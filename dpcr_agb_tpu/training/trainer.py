@@ -80,6 +80,9 @@ class Trainer:
             checkpoint_dir or self.run_dir, self.model_name,
             self.selection_stage, run_config=run_config,
             resume=self.resume, save_dir=self.run_dir)
+        self._saved_target_stats = (
+            self.checkpoint.checkpoint.dataset_properties or {}).get(
+            "target_stats")
         if self.resume and not self.checkpoint.is_empty():
             # re-create model/dataset from the stored run config
             # (model_checkpoint.py:182-193) unless the caller overrides
@@ -90,6 +93,25 @@ class Trainer:
         self.dataset = instantiate_dataset(cfg["data"])
         self.bundle: ModelBundle = instantiate_model(
             cfg["models"], self.model_name, self.dataset, bn_axis_name=None)
+        # target-normalization stats travel with the checkpoint (the
+        # reference stores reg_scale/center_targets as model buffers,
+        # base.py:110-114; override_target_stats=True keeps them on load,
+        # base.py:195-201)
+        import numpy as _np
+        if self.resume and self._saved_target_stats and \
+                self.bundle.option.get("override_target_stats", True):
+            st = self._saved_target_stats
+            self.bundle.spec = dataclasses.replace(
+                self.bundle.spec,
+                scale=_np.asarray(st["scale"], _np.float32),
+                center=_np.asarray(st["center"], _np.float32),
+                weights=_np.asarray(st["weights"], _np.float32))
+            log.info("restored target normalization stats from checkpoint")
+        self.checkpoint.checkpoint.dataset_properties["target_stats"] = {
+            "scale": _np.asarray(self.bundle.spec.scale).tolist(),
+            "center": _np.asarray(self.bundle.spec.center).tolist(),
+            "weights": _np.asarray(self.bundle.spec.weights).tolist(),
+        }
         if bool(get_t("enable_mixed", False)) and hasattr(self.bundle.net,
                                                           "dtype"):
             # TPU mixed precision: bf16 compute, f32 params/BN stats —

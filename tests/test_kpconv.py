@@ -202,3 +202,44 @@ def test_fps_covers_cloud(rng):
     idx = np.asarray(fps(jnp.asarray(pos), jnp.asarray(mask), 8))
     assert len(set(idx.tolist())) == 8
     assert (idx < 60).all()
+
+
+class TestDeformableKPConv:
+    def test_deformable_forward_and_reg_loss(self, rng):
+        import jax
+        from dpcr_agb_tpu.models.kpconv import KPCNN
+        from tests.test_kpconv import TestKPCNN
+        b = TestKPCNN()._batch(rng, n=128)
+        net = KPCNN(
+            architecture=["simple", "resnetb_deformable",
+                          "resnetb_deformable_strided", "resnetb",
+                          "global_sum"],
+            num_reg_targets=2, in_features_dim=3, first_subsampling_dl=0.05,
+            neighborhood_limits=[12, 12])
+        variables = net.init(jax.random.PRNGKey(0), b, train=False)
+        out = net.apply(variables, b, train=False)
+        assert out.shape == (2, 2) and np.isfinite(np.asarray(out)).all()
+        # train mode sows the p2p regularizer into the losses collection
+        out2, mut = net.apply(variables, b, train=True,
+                              mutable=["batch_stats", "losses"])
+        leaves = jax.tree_util.tree_leaves(mut.get("losses", {}))
+        assert leaves, "deformable blocks should sow deform_reg"
+        total = sum(float(jnp.sum(l)) for l in leaves)
+        assert np.isfinite(total) and total >= 0
+
+    def test_offsets_zero_init_matches_rigid_influences(self, rng):
+        """With zero offset weights/bias at init, the deformable conv output
+        should be finite and well-behaved (offsets start at ~0)."""
+        import jax
+        from dpcr_agb_tpu.models.kpconv import KPConvOp
+        from dpcr_agb_tpu.ops.kernel_points import load_kernel_points
+        q = jnp.asarray(rng.uniform(0, 1, size=(1, 16, 3)).astype(np.float32))
+        nbr = jnp.asarray(rng.integers(0, 16, size=(1, 16, 6)).astype(np.int32))
+        x = jnp.asarray(rng.normal(size=(1, 16, 4)).astype(np.float32))
+        kp = load_kernel_points(0.2, 15, seed=0)
+        op = KPConvOp(8, kp, 0.08, deformable=True)
+        variables = op.init(jax.random.PRNGKey(0), q, q, nbr, x)
+        out, mut = op.apply(variables, q, q, nbr, x,
+                            mutable=["losses"])
+        assert out.shape == (1, 16, 8)
+        assert np.isfinite(np.asarray(out)).all()
