@@ -103,3 +103,40 @@ def generate_nfi_like_dataset(root: str, n_plots: int = 60, seed: int = 0,
         label_file = os.path.join(raw, "labels.csv")
         df.to_csv(label_file, index=False)
     return label_file
+
+
+def generate_tree(rng: np.random.Generator):
+    """One single tree (treeDB-style): crown + stem points, local coords."""
+    h = float(np.clip(rng.gamma(4.0, 4.0), 3.0, 35.0))
+    crown_r = np.clip(0.16 * h, 0.6, 4.5)
+    n_pts = max(30, int(crown_r ** 2 * np.pi * rng.uniform(8, 25)))
+    u = rng.random(n_pts) ** 0.4
+    z = h * (0.3 + 0.7 * (1 - u))
+    r = crown_r * np.sqrt(rng.random(n_pts)) * (0.3 + 0.7 * u)
+    th = rng.random(n_pts) * 2 * np.pi
+    pts = np.stack([r * np.cos(th), r * np.sin(th),
+                    z + rng.normal(0, 0.1, n_pts)], axis=1)
+    return pts.astype(np.float32), h
+
+
+def generate_tree_db(root: str, n_trees: int = 40, seed: int = 1) -> str:
+    """Create a synthetic treeDB dataset (reference conf/data/instance/treeDB):
+    one .las per tree under raw/ALS/, labels with height_m + file_path."""
+    rng = np.random.default_rng(seed)
+    raw = os.path.join(root, "raw")
+    os.makedirs(os.path.join(raw, "ALS"), exist_ok=True)
+    rows = []
+    for i in range(n_trees):
+        pts, h = generate_tree(rng)
+        cx, cy = rng.uniform(5e5, 6e5), rng.uniform(6e6, 6.1e6)
+        world = pts + np.array([cx, cy, rng.uniform(0, 100)], np.float32)
+        name = f"ALS/tree_{i:04d}.las"
+        write_las(os.path.join(raw, name), world,
+                  classification=np.full(len(pts), 5, np.int32))
+        rows.append({"file_path": f"tree_{i:04d}", "x": cx, "y": cy,
+                     "height_m": h})
+    df = pd.DataFrame(rows)
+    from ..visualization.gpkg import write_gpkg
+    label_file = os.path.join(raw, "treeDB_epsg_25832.gpkg")
+    write_gpkg(label_file, df, layer="treeDB")
+    return label_file

@@ -118,10 +118,12 @@ class StepRunner:
         self._root_rng = jax.random.PRNGKey(self.seed)
 
     def init_state(self, example_batch) -> TrainState:
-        variables = self.net.init(
+        # jit the init: eager flax init would dispatch thousands of single
+        # ops (prohibitive over a remote-TPU transport)
+        variables = jax.jit(partial(self.net.init, train=False))(
             {"params": jax.random.fold_in(self._root_rng, 0),
              "dropout": jax.random.fold_in(self._root_rng, 1)},
-            example_batch, train=False)
+            example_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         return TrainState(params=params, batch_stats=batch_stats,

@@ -136,11 +136,12 @@ def instantiate_transform(entry) -> Transform:
 
 
 def _flatten(entries):
-    """One level of list nesting is allowed so YAML presets can splice shared
-    pipeline fragments with anchors ([*prefix, *suffix])."""
+    """Arbitrary list nesting is allowed so YAML presets can splice shared
+    pipeline fragments with anchors/interpolations ([*prefix, *suffix],
+    [${a}, ${b.test_transform}])."""
     for e in entries:
         if isinstance(e, (list, tuple)):
-            yield from e
+            yield from _flatten(e)
         else:
             yield e
 
