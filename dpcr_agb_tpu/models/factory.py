@@ -78,7 +78,10 @@ def _collate_spec(conv_type: str, option, dataset) -> CollateSpec:
     dataset_opt = getattr(dataset, "dataset_opt", {})
     get = dataset_opt.get if hasattr(dataset_opt, "get") else dict(dataset_opt).get
     if conv_type == "SPARSE":
+        # fixed bucket ladder caps the number of XLA programs at 3
+        buckets = get("buckets", (4096, 8192, 16384))
         return CollateSpec(conv_type="sparse", use_coords=True,
+                           buckets=tuple(buckets),
                            min_bucket=int(get("min_bucket", 1024)))
     # the pad size comes from the data preset's fixed point count; a model's
     # own num_points is an FPS target applied inside the model
