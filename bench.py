@@ -51,6 +51,12 @@ def main():
                   weight_decay=1e-2))
     runner = StepRunner(net=net, spec=spec, tx=tx, mesh=None, seed=0)
     batch = _example_batch(bs=bs, n_voxels=n_voxels)
+    # production data path: host-precomputed pyramid (overlapped with device
+    # compute by the loader's prefetch threads in real training)
+    from dpcr_agb_tpu.models.factory import make_post_collate
+    post = make_post_collate(net)
+    if post is not None:
+        batch = post(batch)
     state = runner.init_state(batch)
 
     # warmup (compile + 2 steps)

@@ -34,6 +34,8 @@ class Batch:
     is_double: Any                # [B] bool
     coords: Any = None            # [B, N, 3] i32 (sparse models only)
     stats: Any = None             # [B, S] f32
+    aux: Any = None               # model-specific precomputed arrays (e.g.
+                                  # host-built level pyramids / kernel maps)
 
     def tree_flatten(self):
         fields = dataclasses.fields(self)

@@ -37,6 +37,7 @@ class ModelBundle:
     head_namespace: str = "final"
     head_optim_settings: dict = dataclasses.field(default_factory=dict)
     backbone_optim_settings: dict = dataclasses.field(default_factory=dict)
+    post_collate: Optional[Callable] = None  # host precompute (batch -> batch)
 
 
 @register_builder("minkowski.MinkowskiBaselineModel")
@@ -72,6 +73,21 @@ def _build_kpconv(option, dataset, bn_axis_name):
 def _build_pointnext(option, dataset, bn_axis_name):
     from .pointnext import build_pointnext
     return build_pointnext(option, dataset, bn_axis_name), "PARTIAL_DENSE"
+
+
+def make_post_collate(net) -> Optional[Callable]:
+    """Host-side pyramid precompute for models that consume batch.aux
+    (ops/host_pyramid.py): SparseResNet family today."""
+    from .minkowski import DEFAULT_LEVEL_FRACS, SparseResNet
+    if not isinstance(net, SparseResNet):
+        return None
+    from ..ops.host_pyramid import make_sparse_post_collate, resnet_pyramid_plan
+
+    def plan_fn(v0: int):
+        return resnet_pyramid_plan(net.first_stride, net.strides, v0,
+                                   DEFAULT_LEVEL_FRACS, caps=net.level_caps)
+
+    return make_sparse_post_collate(plan_fn)
 
 
 def _collate_spec(conv_type: str, option, dataset) -> CollateSpec:
@@ -114,7 +130,9 @@ def instantiate_model(models_cfg, model_name: str, dataset,
     net, conv_type = _BUILDERS[class_str](option, dataset, bn_axis_name)
     conv_type = option.get("conv_type", conv_type)
     spec = build_instance_spec(dataset, option)
+    post_collate = make_post_collate(net)
     return ModelBundle(
+        post_collate=post_collate,
         name=model_name, net=net, spec=spec, conv_type=conv_type,
         collate=_collate_spec(conv_type, option, dataset), option=option,
         head_namespace=option.get("head_namespace", "final"),

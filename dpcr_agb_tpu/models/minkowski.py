@@ -208,6 +208,10 @@ class SparseResNet(nn.Module):
         act = ACTIVATIONS[self.activation]
 
         # ---- resolution pyramid + kernel maps (no params) ----
+        # Preferred source: host-precomputed maps shipped as batch.aux
+        # (ops/host_pyramid.py, built in the loader's prefetch threads) —
+        # device sorts/searchsorted proved slow on TPU. Fallback: compute
+        # on device (same semantics) when aux is absent.
         n_down = sum(1 for s in self.strides if s != 1) + 1  # + stem pool
         if self.first_stride != 1:
             n_down += 1
@@ -218,49 +222,71 @@ class SparseResNet(nn.Module):
         else:
             caps = [_round8(int(v0 * DEFAULT_LEVEL_FRACS[min(
                 l, len(DEFAULT_LEVEL_FRACS) - 1)])) for l in range(n_levels)]
-        grids = build_levels(coords, mask, n_levels, caps)
 
+        aux = batch.aux if isinstance(batch.aux, dict) and "pool_map" \
+            in batch.aux else None
         off27 = hypercube_offsets(3)
         off343 = hypercube_offsets(7)
         off1 = hypercube_offsets(1)
 
+        if aux is not None:
+            masks = [aux[f"mask{l}"] for l in range(n_levels)]
+            stem_map = aux["stem_map"]
+            pool_map = aux["pool_map"]
+            get_s1 = lambda lv: aux[f"s1_map{lv}"]  # noqa: E731
+            get_down = lambda si: (aux[f"down_k3_{si}"],  # noqa: E731
+                                   aux[f"down_k1_{si}"])
+        else:
+            grids = build_levels(coords, mask, n_levels, caps)
+            masks = [g.mask for g in grids]
+            if self.first_stride == 1:
+                stem_map = batched_kernel_map(grids[0], grids[0], off343, 1)
+            else:
+                stem_map = batched_kernel_map(grids[0], grids[1], off343, 2)
+            _stem_lv = 0 if self.first_stride == 1 else 1
+            pool_map = batched_kernel_map(grids[_stem_lv],
+                                          grids[_stem_lv + 1], off27, 2)
+            _s1_cache = {}
+
+            def get_s1(lv):
+                if lv not in _s1_cache:
+                    _s1_cache[lv] = batched_kernel_map(grids[lv], grids[lv],
+                                                       off27, 1)
+                return _s1_cache[lv]
+
+            _down_levels = {}
+            _lv = _stem_lv + 1
+            for _si, _s in enumerate(self.strides):
+                if _s != 1:
+                    _down_levels[_si] = _lv
+                    _lv += 1
+
+            def get_down(si):
+                lv = _down_levels[si]
+                return (batched_kernel_map(grids[lv], grids[lv + 1], off27, 2),
+                        batched_kernel_map(grids[lv], grids[lv + 1], off1, 2))
+
         level = 0
         # ---- stem: conv k7 stride first_stride + norm + act + maxpool k3 s2
-        if self.first_stride == 1:
-            stem_map = batched_kernel_map(grids[0], grids[0], off343, 1)
-            stem_out_level = 0
-        else:
-            stem_map = batched_kernel_map(grids[0], grids[1], off343, 2)
-            stem_out_level = 1
+        stem_out_level = 0 if self.first_stride == 1 else 1
         h = SparseConv(self.init_dim, off343.shape[0], self.use_bias,
                        dtype=self.dtype, name="stem_conv")(x, stem_map)
         level = stem_out_level
         h = make_norm(self.norm_type, self.init_dim, self.bn_momentum,
                       self.bn_axis_name, name="stem_norm")(
-            h, grids[level].mask, use_running_average=not train)
+            h, masks[level], use_running_average=not train)
         h = act(h)
-        pool_map = batched_kernel_map(grids[level], grids[level + 1], off27, 2)
-        h = jax.vmap(max_pool_apply)(h, pool_map, grids[level + 1].mask)
+        h = jax.vmap(max_pool_apply)(h, pool_map, masks[level + 1])
         level += 1
 
         # ---- stages ----
-        s1_maps = {}  # level -> stride-1 3^3 map, shared by same-level convs
-
-        def get_s1(lv):
-            if lv not in s1_maps:
-                s1_maps[lv] = batched_kernel_map(grids[lv], grids[lv], off27, 1)
-            return s1_maps[lv]
-
         for si, (planes, n_blocks, stride) in enumerate(
                 zip(self.planes, self.layers, self.strides)):
             for bi in range(n_blocks):
                 s = stride if bi == 0 else 1
-                in_mask = grids[level].mask
+                in_mask = masks[level]
                 if s != 1:
-                    k3 = batched_kernel_map(grids[level], grids[level + 1],
-                                            off27, 2)
-                    k1 = batched_kernel_map(grids[level], grids[level + 1],
-                                            off1, 2)
+                    k3, k1 = get_down(si)
                     level += 1
                     k3_out = get_s1(level)
                 else:
@@ -274,11 +300,11 @@ class SparseResNet(nn.Module):
                              norm_type=self.norm_type,
                              bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                              name=f"stage{si}_block{bi}")(
-                    h, in_mask, grids[level].mask, k3, k3_out, k1, train)
+                    h, in_mask, masks[level], k3, k3_out, k1, train)
 
         # ---- head ----
         g = GLOBAL_POOL[self.global_pool](h.astype(jnp.float32),
-                                          grids[level].mask)
+                                          masks[level])
         g = Dropout(self.dropout)(g, deterministic=not (train or enable_dropout))
         return SeparateLinear(self.num_reg_targets, name="final")(g)
 

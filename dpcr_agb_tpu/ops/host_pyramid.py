@@ -1,0 +1,155 @@
+"""Host-side (numpy) sparse-voxel pyramid precompute — the phase-B
+alternative to computing level grids + kernel maps inside the jitted step
+(SURVEY.md §7 decision 2: "decide per-op by profiling; the design must allow
+both behind one interface").
+
+Profiling on the axon v5e showed XLA-TPU sort/searchsorted dominating both
+compile and step time, so the default data path precomputes the pyramid in
+the loader's prefetch threads (overlapped with device compute) and ships the
+maps as `batch.aux`; the device keeps only MXU gathers/matmuls. Semantics
+mirror ops/voxel.py exactly (same key packing, cap-drop rule, shadow index),
+which tests assert.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .voxel import COORD_OFFSET, SENTINEL_KEY, hypercube_offsets
+
+_SENT = int(SENTINEL_KEY)
+
+
+def pack_keys_np(coords: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    c = np.clip(coords, -COORD_OFFSET, COORD_OFFSET - 1) + COORD_OFFSET
+    key = (c[..., 0].astype(np.int64) << 20) | (c[..., 1] << 10) | c[..., 2]
+    return np.where(valid, key, _SENT).astype(np.int64)
+
+
+class HostGrid:
+    __slots__ = ("coords", "mask", "keys_sorted", "order")
+
+    def __init__(self, coords: np.ndarray, mask: np.ndarray):
+        self.coords = coords
+        self.mask = mask
+        keys = pack_keys_np(coords, mask)
+        self.order = np.argsort(keys, kind="stable").astype(np.int32)
+        self.keys_sorted = keys[self.order]
+
+
+def downsample_np(grid: HostGrid, stride: int, v_out: int) -> HostGrid:
+    """unique(floor(coords/stride)) with the same sorted-order cap-drop as
+    ops/voxel.downsample."""
+    down = np.floor_divide(grid.coords, stride)
+    keys = pack_keys_np(down, grid.mask)
+    order = np.argsort(keys, kind="stable")
+    skeys = keys[order]
+    sdown = down[order]
+    valid = skeys != _SENT
+    first = np.empty_like(valid)
+    first[0] = valid[0]
+    first[1:] = (skeys[1:] != skeys[:-1]) & valid[1:]
+    uniq = sdown[first][:v_out]
+    out_coords = np.zeros((v_out, 3), np.int32)
+    out_coords[: len(uniq)] = uniq
+    out_mask = np.zeros(v_out, bool)
+    out_mask[: len(uniq)] = True
+    return HostGrid(out_coords, out_mask)
+
+
+def lookup_np(grid: HostGrid, probe_coords: np.ndarray,
+              probe_valid: np.ndarray) -> np.ndarray:
+    v = grid.coords.shape[0]
+    pk = pack_keys_np(probe_coords, probe_valid)
+    pos = np.searchsorted(grid.keys_sorted, pk)
+    pos_c = np.minimum(pos, v - 1)
+    found = (grid.keys_sorted[pos_c] == pk) & (pk != _SENT)
+    return np.where(found, grid.order[pos_c], v).astype(np.int32)
+
+
+def kernel_map_np(in_grid: HostGrid, out_grid: HostGrid,
+                  offsets: np.ndarray, stride: int) -> np.ndarray:
+    base = out_grid.coords * stride
+    probe = base[None, :, :] + offsets[:, None, :]
+    return lookup_np(in_grid, probe, out_grid.mask[None, :])
+
+
+def resnet_pyramid_plan(first_stride: int, strides: Sequence[int],
+                        v0: int, fracs: Sequence[float],
+                        caps: Optional[Sequence[int]] = None) -> dict:
+    """The level/map layout a SparseResNet forward consumes — must match
+    models/minkowski.SparseResNet.__call__."""
+    n_down = sum(1 for s in strides if s != 1) + 1
+    if first_stride != 1:
+        n_down += 1
+    n_levels = n_down + 1
+    if caps is None:
+        caps = [max(8, -(-int(v0 * fracs[min(l, len(fracs) - 1)]) // 8) * 8)
+                for l in range(n_levels)]
+    return {"first_stride": first_stride, "strides": tuple(strides),
+            "n_levels": n_levels, "caps": tuple(int(c) for c in caps)}
+
+
+def sparse_pyramid_host(coords: np.ndarray, mask: np.ndarray,
+                        plan: dict) -> Dict[str, np.ndarray]:
+    """Per-sample pyramid arrays for one SparseResNet forward."""
+    off343 = hypercube_offsets(7)
+    off27 = hypercube_offsets(3)
+    off1 = hypercube_offsets(1)
+    caps = plan["caps"]
+    n_levels = plan["n_levels"]
+
+    grids: List[HostGrid] = [HostGrid(coords, mask)]
+    for l in range(1, n_levels):
+        grids.append(downsample_np(grids[l - 1], 2, caps[l]))
+
+    out: Dict[str, np.ndarray] = {}
+    for l, g in enumerate(grids):
+        out[f"mask{l}"] = g.mask
+    if plan["first_stride"] == 1:
+        out["stem_map"] = kernel_map_np(grids[0], grids[0], off343, 1)
+        stem_level = 0
+    else:
+        out["stem_map"] = kernel_map_np(grids[0], grids[1], off343, 2)
+        stem_level = 1
+    out["pool_map"] = kernel_map_np(grids[stem_level],
+                                    grids[stem_level + 1], off27, 2)
+    level = stem_level + 1
+    s1_done = set()
+
+    def ensure_s1(lv):
+        if lv not in s1_done:
+            out[f"s1_map{lv}"] = kernel_map_np(grids[lv], grids[lv], off27, 1)
+            s1_done.add(lv)
+
+    for si, stride in enumerate(plan["strides"]):
+        if stride != 1:
+            out[f"down_k3_{si}"] = kernel_map_np(grids[level],
+                                                 grids[level + 1], off27, 2)
+            out[f"down_k1_{si}"] = kernel_map_np(grids[level],
+                                                 grids[level + 1], off1, 2)
+            level += 1
+        ensure_s1(level)
+    return out
+
+
+def collate_sparse_aux(coords_b: np.ndarray, mask_b: np.ndarray,
+                       plan: dict) -> Dict[str, np.ndarray]:
+    """Stack per-sample pyramids into batch arrays."""
+    per = [sparse_pyramid_host(coords_b[i], mask_b[i], plan)
+           for i in range(coords_b.shape[0])]
+    return {k: np.stack([p[k] for p in per]) for k in per[0]}
+
+
+def make_sparse_post_collate(plan_fn):
+    """Loader post_collate: plan_fn(v0) -> plan; attaches batch.aux."""
+    import dataclasses
+
+    def post_collate(batch):
+        plan = plan_fn(batch.coords.shape[1])
+        aux = collate_sparse_aux(np.asarray(batch.coords),
+                                 np.asarray(batch.mask), plan)
+        return dataclasses.replace(batch, aux=aux)
+
+    return post_collate

@@ -17,6 +17,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models.base import InstanceSpec, compute_reg_loss, convert_outputs, reg_output
@@ -48,7 +49,9 @@ def _forward(net, spec: InstanceSpec, params, batch_stats, batch, train: bool,
 
 def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
                     mesh=None, regularizer: Optional[Callable] = None,
-                    ) -> Callable:
+                    seed: int = 0) -> Callable:
+    root_rng = jax.random.PRNGKey(seed)
+
     def loss_fn(params, batch_stats, batch, dropout_rng):
         reg_out, new_stats, internal = _forward(
             net, spec, params, batch_stats, batch, train=True,
@@ -59,7 +62,10 @@ def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
             loss = loss + regularizer(params)
         return loss, (new_stats, reg_out)
 
-    def step(params, batch_stats, opt_state, batch, dropout_rng):
+    def step(params, batch_stats, opt_state, batch, step_idx):
+        # rng derived inside the jit: a host-side fold_in would dispatch an
+        # eager device op per step (one transport RTT on remote TPUs)
+        dropout_rng = jax.random.fold_in(root_rng, 2 + step_idx)
         (loss, (new_stats, reg_out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, batch, dropout_rng)
         updates, new_opt_state = tx.update(grads, opt_state, params)
@@ -71,7 +77,7 @@ def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
     if mesh is None:
         return jax.jit(step)
     repl = replicate_sharding(mesh)
-    return jax.jit(step, in_shardings=(repl, repl, repl, None, repl),
+    return jax.jit(step, in_shardings=(repl, repl, repl, None, None),
                    out_shardings=(repl, repl, repl, repl))
 
 
@@ -81,7 +87,11 @@ def make_eval_step(net, spec: InstanceSpec, mesh=None,
     """Forward-only. train_mode=True reproduces calibrate_bn (BN running-stat
     updates under no_grad, calibrate_bn.py:8-21) / enable_bn_in_eval;
     enable_dropout=True keeps Dropout live (enable_dropout_in_eval)."""
-    def step(params, batch_stats, batch, dropout_rng=None):
+    root_rng = jax.random.PRNGKey(10_000_019)
+
+    def step(params, batch_stats, batch, rng_salt):
+        dropout_rng = (jax.random.fold_in(root_rng, rng_salt)
+                       if enable_dropout or train_mode else None)
         reg_out, new_stats, _ = _forward(
             net, spec, params, batch_stats, batch, train=train_mode,
             dropout_rng=dropout_rng, enable_dropout=enable_dropout)
@@ -92,9 +102,9 @@ def make_eval_step(net, spec: InstanceSpec, mesh=None,
         return new_stats, out
 
     if mesh is None:
-        return jax.jit(step, static_argnames=())
+        return jax.jit(step)
     repl = replicate_sharding(mesh)
-    return jax.jit(step, in_shardings=(repl, repl, None, repl),
+    return jax.jit(step, in_shardings=(repl, repl, None, None),
                    out_shardings=(repl, repl))
 
 
@@ -110,7 +120,8 @@ class StepRunner:
 
     def __post_init__(self):
         self._train_step = make_train_step(self.net, self.spec, self.tx,
-                                           self.mesh, self.regularizer)
+                                           self.mesh, self.regularizer,
+                                           self.seed)
         self._eval_step = make_eval_step(self.net, self.spec, self.mesh, False)
         self._eval_step_dropout = make_eval_step(self.net, self.spec,
                                                  self.mesh, False, True)
@@ -133,10 +144,9 @@ class StepRunner:
         return shard_batch(self.mesh, batch) if self.mesh is not None else batch
 
     def train(self, state: TrainState, batch) -> tuple:
-        rng = jax.random.fold_in(self._root_rng, 2 + state.step)
         params, stats, opt_state, out = self._train_step(
             state.params, state.batch_stats, state.opt_state,
-            self._put(batch), rng)
+            self._put(batch), np.int32(state.step))
         new_state = dataclasses.replace(
             state, params=params, batch_stats=stats, opt_state=opt_state,
             step=state.step + 1,
@@ -145,16 +155,12 @@ class StepRunner:
 
     def evaluate(self, state: TrainState, batch, enable_dropout: bool = False,
                  rng_salt: int = 0) -> Dict[str, Any]:
-        if enable_dropout:
-            rng = jax.random.fold_in(self._root_rng, 10_000_019 + rng_salt)
-            _, out = self._eval_step_dropout(state.params, state.batch_stats,
-                                             self._put(batch), rng)
-        else:
-            _, out = self._eval_step(state.params, state.batch_stats,
-                                     self._put(batch), None)
+        fn = self._eval_step_dropout if enable_dropout else self._eval_step
+        _, out = fn(state.params, state.batch_stats, self._put(batch),
+                    np.int32(rng_salt))
         return out
 
-    def calibrate(self, state: TrainState, batch) -> tuple:
+    def calibrate(self, state: TrainState, batch, salt: int = 0) -> tuple:
         stats, out = self._calib_step(state.params, state.batch_stats,
-                                      self._put(batch), None)
+                                      self._put(batch), np.int32(salt))
         return dataclasses.replace(state, batch_stats=stats), out

@@ -219,7 +219,8 @@ class Trainer:
                 shuffle=is_train and self.shuffle,
                 double_batch=self.bundle.spec.double_batch and is_train,
                 drop_last=is_train, seed=self.seed,
-                num_workers=self.num_workers)
+                num_workers=self.num_workers,
+                post_collate=self.bundle.post_collate)
 
     def _example_batch(self):
         for split in ("train", "val", "test"):
@@ -290,7 +291,8 @@ class Trainer:
             log.info(f"BN calibration epoch {i + 1}/{n}")
             self.tracker.reset("train")
             for bi, batch in enumerate(self.loaders["train"].epoch(i)):
-                self.state, out = self.runner.calibrate(self.state, batch)
+                self.state, out = self.runner.calibrate(self.state, batch,
+                                                        salt=i * 100003 + bi)
                 self._track(batch, out, every=10, batch_i=bi)
                 if self._stop_early(bi):
                     break
@@ -356,7 +358,8 @@ class Trainer:
                     # base_model.py:362-368) — batch stats, not persisted
                     _, out = self.runner._calib_step(
                         self.state.params, self.state.batch_stats,
-                        self.runner._put(batch), None)
+                        self.runner._put(batch),
+                        np.int32(run * 100003 + bi))
                 else:
                     out = self.runner.evaluate(self.state, batch,
                                                enable_dropout=enable_dropout,

@@ -1,0 +1,77 @@
+"""Host pyramid (numpy) vs device pyramid (ops/voxel.py) parity, and
+SparseResNet forward equivalence with/without batch.aux."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpcr_agb_tpu.ops.host_pyramid import (HostGrid, collate_sparse_aux,
+                                           downsample_np, kernel_map_np,
+                                           resnet_pyramid_plan,
+                                           sparse_pyramid_host)
+from dpcr_agb_tpu.ops.voxel import (build_grid, downsample, hypercube_offsets,
+                                    kernel_map)
+from tests.test_voxel import _random_voxels
+
+
+def test_grid_and_downsample_match_device(rng):
+    coords, mask = _random_voxels(rng, 40, 48, lo=0, hi=16)
+    hg = HostGrid(coords, mask)
+    dg = build_grid(jnp.asarray(coords), jnp.asarray(mask))
+    np.testing.assert_array_equal(hg.keys_sorted, np.asarray(dg.keys_sorted))
+    np.testing.assert_array_equal(hg.order, np.asarray(dg.order))
+    hd = downsample_np(hg, 2, 48)
+    dd, _ = downsample(dg, None, 2, 48)
+    np.testing.assert_array_equal(hd.mask, np.asarray(dd.mask))
+    np.testing.assert_array_equal(hd.coords[hd.mask],
+                                  np.asarray(dd.coords)[np.asarray(dd.mask)])
+
+
+@pytest.mark.parametrize("stride,k", [(1, 3), (2, 3), (2, 1), (1, 7)])
+def test_kernel_map_matches_device(rng, stride, k):
+    coords, mask = _random_voxels(rng, 40, 48, lo=0, hi=16)
+    offs = hypercube_offsets(k)
+    hg = HostGrid(coords, mask)
+    dg = build_grid(jnp.asarray(coords), jnp.asarray(mask))
+    if stride == 1:
+        h_out, d_out = hg, dg
+    else:
+        h_out = downsample_np(hg, 2, 48)
+        d_out, _ = downsample(dg, None, 2, 48)
+    hm = kernel_map_np(hg, h_out, offs, stride)
+    dm = kernel_map(dg, d_out, jnp.asarray(offs), stride)
+    np.testing.assert_array_equal(hm, np.asarray(dm))
+
+
+def test_sparse_resnet_forward_equal_with_aux(rng):
+    from dpcr_agb_tpu.models.minkowski import (DEFAULT_LEVEL_FRACS,
+                                               build_resnet)
+
+    class _DS:
+        num_reg_classes = 2
+    net = build_resnet("SENet14", {"activation": "gelu", "first_stride": 1,
+                                   "global_pool": "sum", "drop_path": 0.0,
+                                   "extra_options": {}}, _DS(), None)
+    from tests.test_voxel import TestSparseResNet
+    b = TestSparseResNet()._batch(rng)
+    variables = net.init(jax.random.PRNGKey(0), b, train=False)
+    out_device = net.apply(variables, b, train=False)
+
+    plan = resnet_pyramid_plan(net.first_stride, net.strides,
+                               b.coords.shape[1], DEFAULT_LEVEL_FRACS,
+                               caps=net.level_caps)
+    aux = collate_sparse_aux(np.asarray(b.coords), np.asarray(b.mask), plan)
+    b_aux = dataclasses.replace(b, aux=aux)
+    out_host = net.apply(variables, b_aux, train=False)
+    np.testing.assert_allclose(np.asarray(out_device), np.asarray(out_host),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_plan_caps_match_model_formula():
+    from dpcr_agb_tpu.models.minkowski import (DEFAULT_LEVEL_FRACS, _round8)
+    plan = resnet_pyramid_plan(1, (1, 2, 2, 2), 4096, DEFAULT_LEVEL_FRACS)
+    want = [_round8(int(4096 * DEFAULT_LEVEL_FRACS[min(
+        l, len(DEFAULT_LEVEL_FRACS) - 1)])) for l in range(plan["n_levels"])]
+    assert list(plan["caps"]) == want
