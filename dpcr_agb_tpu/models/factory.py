@@ -81,6 +81,8 @@ def make_post_collate(net) -> Optional[Callable]:
     from .minkowski import DEFAULT_LEVEL_FRACS, SparseResNet
     if not isinstance(net, SparseResNet):
         return None
+    if net.dense_dims is not None:
+        return None  # dense-grid path needs no host precompute
     from ..ops.host_pyramid import make_sparse_post_collate, resnet_pyramid_plan
 
     def plan_fn(v0: int):

@@ -65,12 +65,26 @@ class SparseConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, nbr_idx: Optional[jnp.ndarray]):
-        """x [B,V_in,C]; nbr_idx [B,K,V_out] or None for pointwise k=1 s=1."""
+    def __call__(self, x: jnp.ndarray, nbr_idx: Optional[jnp.ndarray] = None,
+                 dense_occ: Optional[jnp.ndarray] = None, stride: int = 1):
+        """Two execution modes over the SAME parameters:
+        * map mode: x [B,V_in,C], nbr_idx [B,K,V_out] (None = pointwise)
+        * dense mode: x [B,D,H,W,C], dense_occ = output occupancy volume
+          (ops/dense_grid.py — MXU 3D convolution, the TPU fast path)
+        """
         cin = x.shape[-1]
         kernel = self.param("kernel", trunc_normal(0.02),
                             (self.kernel_volume, cin, self.features))
-        if nbr_idx is None:  # kernel 1, stride 1: plain matmul
+        if dense_occ is not None:
+            from ..ops.dense_grid import dense_conv
+            k = round(self.kernel_volume ** (1.0 / 3.0))
+            if x.ndim == 5 and self.kernel_volume == 1 and stride == 1:
+                y = jnp.dot(x.astype(self.dtype),
+                            kernel[0].astype(self.dtype),
+                            preferred_element_type=jnp.float32) * dense_occ
+            else:
+                y = dense_conv(x, dense_occ, kernel, k, stride, self.dtype)
+        elif nbr_idx is None:  # kernel 1, stride 1: plain matmul
             y = jnp.dot(x.astype(self.dtype), kernel[0].astype(self.dtype),
                         preferred_element_type=jnp.float32)
         else:
@@ -81,6 +95,8 @@ class SparseConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
+            if dense_occ is not None:
+                y = y * dense_occ  # bias only at occupied sites
         return y
 
 
@@ -118,58 +134,79 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, in_mask, out_mask, k3_map, k3_out_map, k1_map,
-                 train: bool):
-        """k3_map [B,27,V_out]: the (possibly strided) in->out 3^3 map used by
-        the block's first 3^3 conv. k3_out_map: stride-1 3^3 map at the output
-        level (== k3_map when stride==1) for the BasicBlock's second conv.
-        k1_map [B,1,V_out]: strided pointwise map for the shortcut (None when
-        stride==1)."""
+                 train: bool, dense: bool = False):
+        """Map mode: k3_map [B,27,V_out] is the (possibly strided) in->out
+        3^3 map for the block's first 3^3 conv; k3_out_map the stride-1 map at
+        the output level; k1_map [B,1,V_out] the strided shortcut map.
+        Dense mode (dense=True): x [B,D,H,W,C], in_mask/out_mask are
+        occupancy volumes [B,D,H,W,1]; maps are ignored."""
         act = ACTIVATIONS[self.act_name]
         exp = self.planes * self.expansion
         need_proj = self.stride != 1 or x.shape[-1] != exp
 
-        def norm(feats, width, name):
-            return make_norm(self.norm_type, width, self.bn_momentum,
-                             self.bn_axis_name, name=name)(
-                feats, out_mask, use_running_average=not train)
+        def flat(feats, occ):
+            if not dense:
+                return feats, occ
+            b = feats.shape[0]
+            return (feats.reshape(b, -1, feats.shape[-1]),
+                    occ.reshape(b, -1) > 0)
+
+        def norm_with(feats, occ, width, name):
+            f2, m2 = flat(feats, occ)
+            y = make_norm(self.norm_type, width, self.bn_momentum,
+                          self.bn_axis_name, name=name)(
+                f2, m2, use_running_average=not train)
+            return y.reshape(feats.shape[:-1] + (width,)) if dense else y
+
+        def conv(width, kvol, name, inp, nbr, occ, stride=1):
+            if dense:
+                return SparseConv(width, kvol, self.use_bias,
+                                  dtype=self.dtype, name=name)(
+                    inp, dense_occ=occ, stride=stride)
+            return SparseConv(width, kvol, self.use_bias, dtype=self.dtype,
+                              name=name)(inp, nbr)
 
         if self.bottleneck:
-            out = SparseConv(self.planes, 1, self.use_bias, dtype=self.dtype,
-                             name="conv1")(x, None)
-            out = make_norm(self.norm_type, self.planes, self.bn_momentum,
-                            self.bn_axis_name, name="norm1")(
-                out, in_mask, use_running_average=not train)
+            out = conv(self.planes, 1, "conv1", x, None, in_mask)
+            out = norm_with(out, in_mask, self.planes, "norm1")
             out = act(out)
-            out = SparseConv(self.planes, 27, self.use_bias, dtype=self.dtype,
-                             name="conv2")(out, k3_map)
-            out = norm(out, self.planes, "norm2")
+            out = conv(self.planes, 27, "conv2", out, k3_map, out_mask,
+                       self.stride)
+            out = norm_with(out, out_mask, self.planes, "norm2")
             out = act(out)
-            out = SparseConv(exp, 1, self.use_bias, dtype=self.dtype,
-                             name="conv3")(out, None)
-            out = norm(out, exp, "norm3")
+            out = conv(exp, 1, "conv3", out, None, out_mask)
+            out = norm_with(out, out_mask, exp, "norm3")
         else:
-            out = SparseConv(self.planes, 27, self.use_bias, dtype=self.dtype,
-                             name="conv1")(x, k3_map)
-            out = norm(out, self.planes, "norm1")
+            out = conv(self.planes, 27, "conv1", x, k3_map, out_mask,
+                       self.stride)
+            out = norm_with(out, out_mask, self.planes, "norm1")
             out = act(out)
-            out = SparseConv(self.planes, 27, self.use_bias, dtype=self.dtype,
-                             name="conv2")(out, k3_out_map)
-            out = norm(out, self.planes, "norm2")
+            out = conv(self.planes, 27, "conv2", out, k3_out_map, out_mask)
+            out = norm_with(out, out_mask, self.planes, "norm2")
 
         if self.se:
-            out = SELayer(exp if self.bottleneck else self.planes, act,
-                          self.se_reduction, name="se")(out, out_mask)
+            width = exp if self.bottleneck else self.planes
+            f2, m2 = flat(out, out_mask)
+            y = SELayer(width, act, self.se_reduction, name="se")(f2, m2)
+            out = y.reshape(out.shape) if dense else y
 
         residual = x
         if need_proj:
-            residual = SparseConv(exp, 1, self.use_bias, dtype=self.dtype,
-                                  name="downsample_conv")(
-                x, k1_map if self.stride != 1 else None)
-            residual = norm(residual, exp, "downsample_norm")
+            if dense:
+                residual = SparseConv(exp, 1, self.use_bias, dtype=self.dtype,
+                                      name="downsample_conv")(
+                    x, dense_occ=out_mask, stride=self.stride)
+            else:
+                residual = SparseConv(exp, 1, self.use_bias, dtype=self.dtype,
+                                      name="downsample_conv")(
+                    x, k1_map if self.stride != 1 else None)
+            residual = norm_with(residual, out_mask, exp, "downsample_norm")
 
         out = DropPath(self.drop_path, name="drop_path")(
             out, deterministic=not train) + residual
         out = act(out)
+        if dense:
+            return jnp.where(out_mask > 0, out, 0.0)
         return jnp.where(out_mask[..., None], out, 0.0)
 
 
@@ -192,6 +229,9 @@ class SparseResNet(nn.Module):
     level_caps: Optional[Sequence[int]] = None
     bn_axis_name: Any = None
     dtype: Any = jnp.float32
+    # dense-grid execution (ops/dense_grid.py): scatter voxels into a bounded
+    # [D,H,W] volume and run MXU 3D convs — the TPU fast path. None disables.
+    dense_dims: Optional[Tuple[int, int, int]] = (88, 88, 104)
 
     @nn.compact
     def __call__(self, batch, train: bool = False,
@@ -206,6 +246,10 @@ class SparseResNet(nn.Module):
         bottleneck = "bottleneck" in self.block
         se = self.block.startswith("se")
         act = ACTIVATIONS[self.activation]
+
+        if self.dense_dims is not None:
+            return self._dense_forward(batch, train, enable_dropout,
+                                       bottleneck, se, act)
 
         # ---- resolution pyramid + kernel maps (no params) ----
         # Preferred source: host-precomputed maps shipped as batch.aux
@@ -308,6 +352,65 @@ class SparseResNet(nn.Module):
         g = Dropout(self.dropout)(g, deterministic=not (train or enable_dropout))
         return SeparateLinear(self.num_reg_targets, name="final")(g)
 
+    def _dense_forward(self, batch, train, enable_dropout, bottleneck, se,
+                       act):
+        """Dense-grid execution (same parameters/submodule names as the map
+        path — checkpoints interchange; parity is test-asserted)."""
+        from ..ops.dense_grid import (dense_max_pool, occupancy_pool,
+                                      scatter_to_dense)
+        coords, mask = batch.coords, batch.mask
+        feats = batch.x.astype(self.dtype)
+        h, occ = jax.vmap(
+            lambda c, m, f: scatter_to_dense(c, m, f, self.dense_dims))(
+            coords, mask, feats)
+
+        def norm_flat(y, occ_v, width, name):
+            b = y.shape[0]
+            y2 = make_norm(self.norm_type, width, self.bn_momentum,
+                           self.bn_axis_name, name=name)(
+                y.reshape(b, -1, width), occ_v.reshape(b, -1) > 0,
+                use_running_average=not train)
+            return y2.reshape(y.shape[:-1] + (width,))
+
+        # ---- stem ----
+        if self.first_stride == 1:
+            occ_stem = occ
+        else:
+            occ_stem = occupancy_pool(occ)
+        h = SparseConv(self.init_dim, 343, self.use_bias, dtype=self.dtype,
+                       name="stem_conv")(h, dense_occ=occ_stem,
+                                         stride=self.first_stride)
+        h = norm_flat(h, occ_stem, self.init_dim, "stem_norm")
+        h = act(h) * occ_stem
+        occ_l = occupancy_pool(occ_stem)
+        h = dense_max_pool(h, occ_stem, occ_l)
+
+        # ---- stages ----
+        for si, (planes, n_blocks, stride) in enumerate(
+                zip(self.planes, self.layers, self.strides)):
+            for bi in range(n_blocks):
+                s = stride if bi == 0 else 1
+                occ_in = occ_l
+                if s != 1:
+                    occ_l = occupancy_pool(occ_l)
+                h = ResBlock(planes=planes, bottleneck=bottleneck, se=se,
+                             act_name=self.activation, stride=s,
+                             drop_path=self.drop_path, use_bias=self.use_bias,
+                             bn_momentum=self.bn_momentum,
+                             norm_type=self.norm_type,
+                             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                             name=f"stage{si}_block{bi}")(
+                    h, occ_in, occ_l, None, None, None, train, dense=True)
+
+        # ---- head ----
+        hf = h.astype(jnp.float32)
+        b = hf.shape[0]
+        g = GLOBAL_POOL[self.global_pool](hf.reshape(b, -1, hf.shape[-1]),
+                                          occ_l.reshape(b, -1) > 0)
+        g = Dropout(self.dropout)(g,
+                                  deterministic=not (train or enable_dropout))
+        return SeparateLinear(self.num_reg_targets, name="final")(g)
+
 
 _ARCHS = {
     # name -> (block, layers)
@@ -349,6 +452,9 @@ def build_resnet(arch_name: str, option, dataset, bn_axis_name=None):
         level_caps=extra.get("level_caps"),
         bn_axis_name=bn_axis_name,
         dtype=jnp.bfloat16 if extra.get("bf16", False) else jnp.float32,
+        dense_dims=(tuple(extra["dense_dims"])
+                    if extra.get("dense_dims") is not None else None)
+        if "dense_dims" in extra else (88, 88, 104),
     )
     if arch_name in _ARCHS:
         block, layers = _ARCHS[arch_name]

@@ -145,3 +145,67 @@ def radius_query_2d(points_xy: np.ndarray, cx: float, cy: float,
         return out[:m].astype(np.int64)
     d2 = (points_xy[:, 0] - cx) ** 2 + (points_xy[:, 1] - cy) ** 2
     return np.flatnonzero(d2 <= radius * radius)
+
+
+def _bind_pyramid(lib) -> None:
+    if getattr(lib, "_pyramid_bound", False):
+        return
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.build_sorted_keys.restype = None
+    lib.build_sorted_keys.argtypes = [i32p, u8p, ctypes.c_int64, i64p, i32p]
+    lib.key_kernel_map.restype = None
+    lib.key_kernel_map.argtypes = [i64p, i32p, ctypes.c_int64, i64p, i64p,
+                                   ctypes.c_int64, ctypes.c_int64, i32p]
+    lib.downsample_coords.restype = ctypes.c_int64
+    lib.downsample_coords.argtypes = [i32p, u8p, ctypes.c_int64,
+                                      ctypes.c_int32, ctypes.c_int64, i32p,
+                                      u8p]
+    lib._pyramid_bound = True
+
+
+def build_sorted_keys(coords: np.ndarray, mask: np.ndarray):
+    """(keys_sorted int64 [V], order int32 [V]) or None if lib missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_pyramid(lib)
+    coords = np.ascontiguousarray(coords, np.int32)
+    mask_u8 = np.ascontiguousarray(mask, np.uint8)
+    v = len(coords)
+    keys = np.empty(v, np.int64)
+    order = np.empty(v, np.int32)
+    lib.build_sorted_keys(coords, mask_u8, v, keys, order)
+    return keys, order
+
+
+def key_kernel_map(keys_sorted: np.ndarray, order: np.ndarray,
+                   base_keys: np.ndarray, off_keys: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    _bind_pyramid(lib)
+    k, v_out = len(off_keys), len(base_keys)
+    out = np.empty((k, v_out), np.int32)
+    lib.key_kernel_map(np.ascontiguousarray(keys_sorted, np.int64),
+                       np.ascontiguousarray(order, np.int32),
+                       len(keys_sorted),
+                       np.ascontiguousarray(base_keys, np.int64),
+                       np.ascontiguousarray(off_keys, np.int64), k, v_out,
+                       out)
+    return out
+
+
+def downsample_coords(coords: np.ndarray, mask: np.ndarray, stride: int,
+                      v_out: int):
+    """(out_coords [v_out,3] i32, out_mask [v_out] bool) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_pyramid(lib)
+    out_c = np.empty((v_out, 3), np.int32)
+    out_m = np.empty(v_out, np.uint8)
+    lib.downsample_coords(np.ascontiguousarray(coords, np.int32),
+                          np.ascontiguousarray(mask, np.uint8), len(coords),
+                          stride, v_out, out_c, out_m)
+    return out_c, out_m.astype(bool)

@@ -1,0 +1,114 @@
+"""Dense-grid execution of sparse-voxel convolutions — the TPU-native fast
+path for the MSENet family.
+
+NFI plots quantize into a BOUNDED grid (unit box / first_subsampling ≈
+81-101 cells per axis), and TPU MXUs crush dense 3D convolutions while
+arbitrary row gathers crawl (measured: a 27-offset gather conv at V=8192 is
+gather-bound; the 343-offset stem map alone ~8 s/step). So: scatter voxel
+features into a [D,H,W,C] volume, run `lax.conv_general_dilated` with an
+occupancy mask, and the math is EXACTLY MinkowskiConvolution semantics:
+
+  * stride-1 conv: out[u] = sum_o W[o] x[u+o], evaluated only at occupied
+    sites (mask multiply after conv) with zeros at empty sites (scatter) —
+    identical to the gather formulation with zero shadow rows
+  * stride-2 conv/pool: output sites = cells with >=1 occupied child
+    (occupancy maxpool window 2 stride 2); values from the k^3 window around
+    2u (conv stride 2, pad k//2) — identical to unique(floor(coords/2))
+  * BN/SE/global pools: masked by occupancy with masked moments
+
+Occupancy waste (empty-cell FLOPs) is repaid ~100x by MXU efficiency at
+these sizes. Parity with ops/voxel.py is test-asserted.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+def scatter_to_dense(coords: jnp.ndarray, mask: jnp.ndarray,
+                     feats: jnp.ndarray, dims: Sequence[int],
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[V,3]+[V]+[V,C] -> dense [D,H,W,C] + occupancy [D,H,W,1].
+    Out-of-bounds coords (shouldn't happen for NFI presets) are dropped."""
+    d, h, w = dims
+    c = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    in_bounds = jnp.all((coords >= 0) & (coords < jnp.asarray([d, h, w])),
+                        axis=-1)
+    valid = mask & in_bounds
+    flat_idx = (c[:, 0] * h + c[:, 1]) * w + c[:, 2]
+    flat_idx = jnp.where(valid, flat_idx, d * h * w)  # drop row
+    dense = jnp.zeros((d * h * w, feats.shape[-1]), feats.dtype)
+    dense = dense.at[flat_idx].add(
+        jnp.where(valid[:, None], feats, 0), mode="drop")
+    occ = jnp.zeros((d * h * w, 1), feats.dtype)
+    occ = occ.at[flat_idx].max(
+        jnp.where(valid[:, None], 1.0, 0.0), mode="drop")
+    # duplicate coords can't occur (voxel-deduped upstream); .add is safe
+    return (dense.reshape(d, h, w, -1), occ.reshape(d, h, w, 1))
+
+
+def gather_from_dense(dense: jnp.ndarray, coords: jnp.ndarray,
+                      mask: jnp.ndarray) -> jnp.ndarray:
+    """Read back per-voxel features [V,C] from a dense volume."""
+    d, h, w, _ = dense.shape
+    c = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    out = dense[c[:, 0], c[:, 1], c[:, 2]]
+    return jnp.where(mask[:, None], out, 0)
+
+
+def dense_conv(x: jnp.ndarray, occ_out: jnp.ndarray, weights: jnp.ndarray,
+               kernel_size: int, stride: int = 1,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
+    """x [B,D,H,W,Cin]; weights [K^3,Cin,Cout] in hypercube offset order
+    (z fastest — matches reshape to [k,k,k,Cin,Cout]); occ_out masks output
+    sites. Returns [B,D',H',W',Cout] f32."""
+    k = kernel_size
+    w_dense = weights.reshape(k, k, k, weights.shape[-2], weights.shape[-1])
+    pad = k // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), w_dense.astype(compute_dtype),
+        window_strides=(stride, stride, stride),
+        padding=[(pad, pad)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)
+    return y * occ_out
+
+
+def occupancy_pool(occ: jnp.ndarray) -> jnp.ndarray:
+    """Next-level occupancy: cell occupied iff any of its 2^3 children is
+    (= unique(floor(coords/2)))."""
+    return jax.lax.reduce_window(
+        occ, 0.0, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "SAME")
+
+
+def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
+                   occ_out: jnp.ndarray) -> jnp.ndarray:
+    """Minkowski MaxPool(kernel 3, stride 2): max over the 3^3 input window
+    around 2u, empty inputs excluded (-inf), output only at occupied sites."""
+    filled = jnp.where(occ_in > 0, x, NEG_INF)
+    y = jax.lax.reduce_window(
+        filled, NEG_INF, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    return jnp.where(occ_out > 0, y, 0.0)
+
+
+def level_dims(dims: Sequence[int], level: int) -> Tuple[int, int, int]:
+    """Grid dims shrink by ceil-halving per level (SAME-padded stride 2)."""
+    d, h, w = dims
+    for _ in range(level):
+        d, h, w = -(-d // 2), -(-h // 2), -(-w // 2)
+    return d, h, w
+
+
+def masked_moments_dense(x: jnp.ndarray, occ: jnp.ndarray, eps=1e-12):
+    """Per-channel moments over occupied cells of [B,D,H,W,C]."""
+    axes = (0, 1, 2, 3)
+    count = jnp.maximum(jnp.sum(occ, axis=axes), eps)
+    mean = jnp.sum(x * occ, axis=axes) / count
+    var = jnp.sum(jnp.square(x - mean) * occ, axis=axes) / count
+    return mean, var, count

@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .. import native
 from .voxel import COORD_OFFSET, SENTINEL_KEY, hypercube_offsets
 
 _SENT = int(SENTINEL_KEY)
@@ -33,14 +34,23 @@ class HostGrid:
     def __init__(self, coords: np.ndarray, mask: np.ndarray):
         self.coords = coords
         self.mask = mask
-        keys = pack_keys_np(coords, mask)
-        self.order = np.argsort(keys, kind="stable").astype(np.int32)
-        self.keys_sorted = keys[self.order]
+        built = native.build_sorted_keys(coords, mask) \
+            if native.is_available() else None
+        if built is not None:
+            self.keys_sorted, self.order = built
+        else:
+            keys = pack_keys_np(coords, mask)
+            self.order = np.argsort(keys, kind="stable").astype(np.int32)
+            self.keys_sorted = keys[self.order]
 
 
 def downsample_np(grid: HostGrid, stride: int, v_out: int) -> HostGrid:
     """unique(floor(coords/stride)) with the same sorted-order cap-drop as
     ops/voxel.downsample."""
+    if native.is_available():
+        out = native.downsample_coords(grid.coords, grid.mask, stride, v_out)
+        if out is not None:
+            return HostGrid(out[0], out[1])
     down = np.floor_divide(grid.coords, stride)
     keys = pack_keys_np(down, grid.mask)
     order = np.argsort(keys, kind="stable")
@@ -71,6 +81,27 @@ def lookup_np(grid: HostGrid, probe_coords: np.ndarray,
 def kernel_map_np(in_grid: HostGrid, out_grid: HostGrid,
                   offsets: np.ndarray, stride: int) -> np.ndarray:
     base = out_grid.coords * stride
+    lo = base.min(initial=0) + offsets.min(initial=0)
+    hi = base.max(initial=0) + offsets.max(initial=0)
+    if -COORD_OFFSET <= lo and hi < COORD_OFFSET:
+        # fast path: probe key = base key + offset key (no clipping can
+        # occur, so the packed-key arithmetic is exact)
+        base_keys = pack_keys_np(base, out_grid.mask)            # [V]
+        # offsets can be negative: compose keys ARITHMETICALLY (bitwise OR
+        # would corrupt sign bits)
+        off_keys = (offsets[:, 0].astype(np.int64) * (1 << 20)
+                    + offsets[:, 1].astype(np.int64) * (1 << 10)
+                    + offsets[:, 2].astype(np.int64))            # [K]
+        if native.is_available():
+            return native.key_kernel_map(in_grid.keys_sorted, in_grid.order,
+                                         base_keys, off_keys)
+        pk = np.where(out_grid.mask[None, :],
+                      base_keys[None, :] + off_keys[:, None], _SENT)
+        v = in_grid.coords.shape[0]
+        pos = np.searchsorted(in_grid.keys_sorted, pk)
+        pos_c = np.minimum(pos, v - 1)
+        found = (in_grid.keys_sorted[pos_c] == pk) & (pk != _SENT)
+        return np.where(found, in_grid.order[pos_c], v).astype(np.int32)
     probe = base[None, :, :] + offsets[:, None, :]
     return lookup_np(in_grid, probe, out_grid.mask[None, :])
 

@@ -75,3 +75,25 @@ def test_plan_caps_match_model_formula():
     want = [_round8(int(4096 * DEFAULT_LEVEL_FRACS[min(
         l, len(DEFAULT_LEVEL_FRACS) - 1)])) for l in range(plan["n_levels"])]
     assert list(plan["caps"]) == want
+
+
+def test_dense_forward_matches_map_forward(rng):
+    """Dense-grid execution == map execution on the same params (within caps
+    generous enough that the map path drops nothing)."""
+    from dpcr_agb_tpu.models.minkowski import build_resnet
+
+    class _DS:
+        num_reg_classes = 2
+    common = {"activation": "gelu", "first_stride": 1, "global_pool": "sum",
+              "drop_path": 0.0}
+    net_map = build_resnet("SENet14", {**common, "extra_options": {
+        "dense_dims": None, "level_caps": [64] * 5}}, _DS(), None)
+    net_dense = build_resnet("SENet14", {**common, "extra_options": {
+        "dense_dims": [16, 16, 16]}}, _DS(), None)
+    from tests.test_voxel import TestSparseResNet
+    b = TestSparseResNet()._batch(rng)  # coords in [0,16)
+    variables = net_map.init(jax.random.PRNGKey(0), b, train=False)
+    out_map = net_map.apply(variables, b, train=False)
+    out_dense = net_dense.apply(variables, b, train=False)
+    np.testing.assert_allclose(np.asarray(out_map), np.asarray(out_dense),
+                               rtol=2e-3, atol=2e-3)
