@@ -372,20 +372,22 @@ class SparseResNet(nn.Module):
                 use_running_average=not train)
             return y2.reshape(y.shape[:-1] + (width,))
 
-        # ---- stem ----
+        # ---- stem (rematerialized: the full-resolution activation is the
+        # biggest tensor in the program; recompute it in the backward) ----
         if self.first_stride == 1:
             occ_stem = occ
         else:
             occ_stem = occupancy_pool(occ)
-        h = SparseConv(self.init_dim, 343, self.use_bias, dtype=self.dtype,
-                       name="stem_conv")(h, dense_occ=occ_stem,
-                                         stride=self.first_stride)
+        RematConv = nn.remat(SparseConv, static_argnums=(4,))
+        h = RematConv(self.init_dim, 343, self.use_bias, dtype=self.dtype,
+                      name="stem_conv")(h, None, occ_stem, self.first_stride)
         h = norm_flat(h, occ_stem, self.init_dim, "stem_norm")
         h = act(h) * occ_stem
         occ_l = occupancy_pool(occ_stem)
         h = dense_max_pool(h, occ_stem, occ_l)
 
-        # ---- stages ----
+        # ---- stages (rematted blocks bound activation memory) ----
+        RematBlock = nn.remat(ResBlock, static_argnums=(7, 8))
         for si, (planes, n_blocks, stride) in enumerate(
                 zip(self.planes, self.layers, self.strides)):
             for bi in range(n_blocks):
@@ -393,14 +395,16 @@ class SparseResNet(nn.Module):
                 occ_in = occ_l
                 if s != 1:
                     occ_l = occupancy_pool(occ_l)
-                h = ResBlock(planes=planes, bottleneck=bottleneck, se=se,
-                             act_name=self.activation, stride=s,
-                             drop_path=self.drop_path, use_bias=self.use_bias,
-                             bn_momentum=self.bn_momentum,
-                             norm_type=self.norm_type,
-                             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-                             name=f"stage{si}_block{bi}")(
-                    h, occ_in, occ_l, None, None, None, train, dense=True)
+                h = RematBlock(planes=planes, bottleneck=bottleneck, se=se,
+                               act_name=self.activation, stride=s,
+                               drop_path=self.drop_path,
+                               use_bias=self.use_bias,
+                               bn_momentum=self.bn_momentum,
+                               norm_type=self.norm_type,
+                               bn_axis_name=self.bn_axis_name,
+                               dtype=self.dtype,
+                               name=f"stage{si}_block{bi}")(
+                    h, occ_in, occ_l, None, None, None, train, True)
 
         # ---- head ----
         hf = h.astype(jnp.float32)

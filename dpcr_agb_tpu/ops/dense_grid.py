@@ -81,18 +81,22 @@ def dense_conv(x: jnp.ndarray, occ_out: jnp.ndarray, weights: jnp.ndarray,
 
 def occupancy_pool(occ: jnp.ndarray) -> jnp.ndarray:
     """Next-level occupancy: cell occupied iff any of its 2^3 children is
-    (= unique(floor(coords/2)))."""
-    return jax.lax.reduce_window(
-        occ, 0.0, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "SAME")
+    (= unique(floor(coords/2))). Non-differentiable by construction."""
+    pooled = jax.lax.reduce_window(
+        occ, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "SAME")
+    return jax.lax.stop_gradient(jnp.maximum(pooled, 0.0))
 
 
 def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
                    occ_out: jnp.ndarray) -> jnp.ndarray:
     """Minkowski MaxPool(kernel 3, stride 2): max over the 3^3 input window
-    around 2u, empty inputs excluded (-inf), output only at occupied sites."""
-    filled = jnp.where(occ_in > 0, x, NEG_INF)
+    around 2u, empty inputs excluded (-inf), output only at occupied sites.
+    NOTE: init must be -inf for JAX's reduce_window_max gradient rule to
+    apply (any other init falls back to the non-differentiable generic
+    reduce_window primitive)."""
+    filled = jnp.where(occ_in > 0, x, jnp.asarray(NEG_INF, x.dtype))
     y = jax.lax.reduce_window(
-        filled, NEG_INF, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+        filled, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
     return jnp.where(occ_out > 0, y, 0.0)
 
