@@ -39,7 +39,10 @@ def main():
     from dpcr_agb_tpu.training.optim import adabelief, cosine_annealing_warm_restarts
     from dpcr_agb_tpu.training.step import StepRunner
 
-    bs, n_voxels = 32, 16000
+    # bs16 on one v5e (16 GB HBM): the dense stem's pooling backward needs a
+    # full-resolution gradient volume, which bounds the single-chip batch;
+    # the paper's bs32 runs as 2x bs16 gradient accumulation or 2-chip DP.
+    bs, n_voxels = 16, 16000
     net = _flagship()
     spec = InstanceSpec(
         num_reg_targets=2, scale=np.array([50.0, 80.0], np.float32),

@@ -382,7 +382,7 @@ class SparseResNet(nn.Module):
         h = RematConv(self.init_dim, 343, self.use_bias, dtype=self.dtype,
                       name="stem_conv")(h, None, occ_stem, self.first_stride)
         h = norm_flat(h, occ_stem, self.init_dim, "stem_norm")
-        h = act(h) * occ_stem
+        h = act(h) * occ_stem.astype(h.dtype)  # keep compute dtype (bf16)
         occ_l = occupancy_pool(occ_stem)
         h = dense_max_pool(h, occ_stem, occ_l)
 

@@ -70,13 +70,14 @@ def dense_conv(x: jnp.ndarray, occ_out: jnp.ndarray, weights: jnp.ndarray,
     k = kernel_size
     w_dense = weights.reshape(k, k, k, weights.shape[-2], weights.shape[-1])
     pad = k // 2
+    # compute natively in compute_dtype (MXU accumulates f32 for bf16 inputs;
+    # a mixed-dtype preferred_element_type breaks the conv transpose rule)
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w_dense.astype(compute_dtype),
         window_strides=(stride, stride, stride),
         padding=[(pad, pad)] * 3,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
-    return y * occ_out
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y * occ_out.astype(y.dtype)
 
 
 def occupancy_pool(occ: jnp.ndarray) -> jnp.ndarray:
