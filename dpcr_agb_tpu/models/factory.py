@@ -77,19 +77,41 @@ def _build_pointnext(option, dataset, bn_axis_name):
 
 def make_post_collate(net) -> Optional[Callable]:
     """Host-side pyramid precompute for models that consume batch.aux
-    (ops/host_pyramid.py): SparseResNet family today."""
+    (ops/host_pyramid.py): map-mode SparseResNet and KPCNN."""
     from .minkowski import DEFAULT_LEVEL_FRACS, SparseResNet
-    if not isinstance(net, SparseResNet):
-        return None
-    if net.dense_dims is not None:
-        return None  # dense-grid path needs no host precompute
-    from ..ops.host_pyramid import make_sparse_post_collate, resnet_pyramid_plan
+    if isinstance(net, SparseResNet):
+        if net.dense_dims is not None:
+            return None  # dense-grid path needs no host precompute
+        from ..ops.host_pyramid import (make_sparse_post_collate,
+                                        resnet_pyramid_plan)
 
-    def plan_fn(v0: int):
-        return resnet_pyramid_plan(net.first_stride, net.strides, v0,
-                                   DEFAULT_LEVEL_FRACS, caps=net.level_caps)
+        def plan_fn(v0: int):
+            return resnet_pyramid_plan(net.first_stride, net.strides, v0,
+                                       DEFAULT_LEVEL_FRACS,
+                                       caps=net.level_caps)
 
-    return make_sparse_post_collate(plan_fn)
+        return make_sparse_post_collate(plan_fn)
+
+    from .kpconv import DEFAULT_POINT_FRACS, KPCNN
+    if isinstance(net, KPCNN):
+        from .. import native
+        if not native.is_available():
+            return None  # device pyramid fallback
+        from ..ops.host_pyramid import (kpconv_pyramid_plan,
+                                        make_kpconv_post_collate)
+        levels, _ = net._layer_plan()
+        n_levels = len(levels)
+        klims = list(net.neighborhood_limits or [40] * n_levels)
+        deform_levels = [any("deformable" in b for b in lv) for lv in levels]
+
+        def plan_fn(n0: int):
+            return kpconv_pyramid_plan(
+                net.first_subsampling_dl, net.conv_radius, n_levels, n0,
+                net.point_fracs or DEFAULT_POINT_FRACS, klims,
+                deform_levels, net.deform_radius / net.conv_radius)
+
+        return make_kpconv_post_collate(plan_fn)
+    return None
 
 
 def _collate_spec(conv_type: str, option, dataset) -> CollateSpec:

@@ -272,32 +272,43 @@ class KPCNN(nn.Module):
                 for l in range(n_levels)]
         klims = list(self.neighborhood_limits or [40] * n_levels)
 
-        # ---- device pyramid: points, conv neighbors, pool neighbors ----
-        # deformable layers search with the larger deform radius
-        # (kpconv.py:178-184,203-208)
+        # ---- pyramid: points, conv neighbors, pool neighbors ----
+        # Preferred source: host-precomputed (batch.aux via the native C++
+        # pointops, built in loader prefetch threads). Fallback: on-device
+        # (same semantics) when aux is absent.
+        # Deformable layers search with the larger deform radius
+        # (kpconv.py:178-184,203-208).
         deform_scale = self.deform_radius / self.conv_radius
         level_deform = [any("deformable" in b for b in lv) for lv in levels]
-        pts = [(pos.astype(jnp.float32), mask)]
-        conv_nbrs, pool_nbrs = [], []
-        r = self.first_subsampling_dl * self.conv_radius
-        for l in range(n_levels):
-            p_l, m_l = pts[l]
-            r_search = r * deform_scale if level_deform[l] else r
-            conv_nbrs.append(jax.vmap(
-                lambda q, qm, s, sm: radius_neighbors(q, qm, s, sm, r_search,
-                                                      klims[l])
-            )(p_l, m_l, p_l, m_l))
-            if l < n_levels - 1:
-                dl = 2 * r / self.conv_radius
-                p_n, m_n = jax.vmap(
-                    lambda p, m: grid_subsample(p, m, dl, caps[l + 1])
-                )(p_l, m_l)
-                pool_nbrs.append(jax.vmap(
-                    lambda q, qm, s, sm: radius_neighbors(q, qm, s, sm,
-                                                          r_search, klims[l])
-                )(p_n, m_n, p_l, m_l))
-                pts.append((p_n, m_n))
-            r *= 2
+        aux = batch.aux if isinstance(batch.aux, dict) and "kp_conv0" \
+            in batch.aux else None
+        if aux is not None:
+            pts = [(aux[f"kp_pts{l}"].astype(jnp.float32),
+                    aux[f"kp_mask{l}"]) for l in range(n_levels)]
+            conv_nbrs = [aux[f"kp_conv{l}"] for l in range(n_levels)]
+            pool_nbrs = [aux[f"kp_pool{l}"] for l in range(n_levels - 1)]
+        else:
+            pts = [(pos.astype(jnp.float32), mask)]
+            conv_nbrs, pool_nbrs = [], []
+            r = self.first_subsampling_dl * self.conv_radius
+            for l in range(n_levels):
+                p_l, m_l = pts[l]
+                r_search = r * deform_scale if level_deform[l] else r
+                conv_nbrs.append(jax.vmap(
+                    lambda q, qm, s, sm: radius_neighbors(
+                        q, qm, s, sm, r_search, klims[l])
+                )(p_l, m_l, p_l, m_l))
+                if l < n_levels - 1:
+                    dl = 2 * r / self.conv_radius
+                    p_n, m_n = jax.vmap(
+                        lambda p, m: grid_subsample(p, m, dl, caps[l + 1])
+                    )(p_l, m_l)
+                    pool_nbrs.append(jax.vmap(
+                        lambda q, qm, s, sm: radius_neighbors(
+                            q, qm, s, sm, r_search, klims[l])
+                    )(p_n, m_n, p_l, m_l))
+                    pts.append((p_n, m_n))
+                r *= 2
 
         # ---- blocks (channel plan mirrors architectures.py:91-125) ----
         x = batch.x.astype(jnp.float32)

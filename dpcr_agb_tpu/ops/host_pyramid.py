@@ -184,3 +184,87 @@ def make_sparse_post_collate(plan_fn):
         return dataclasses.replace(batch, aux=aux)
 
     return post_collate
+
+
+# ---- KPConv pyramid (host side of models/kpconv.KPCNN) ----------------------
+
+def kpconv_pyramid_plan(first_subsampling_dl: float, conv_radius: float,
+                        n_levels: int, v0: int, fracs: Sequence[float],
+                        klims: Sequence[int],
+                        deform_levels: Optional[Sequence[bool]] = None,
+                        deform_scale: float = 1.0) -> dict:
+    caps = [max(16, -(-int(v0 * fracs[min(l, len(fracs) - 1)]) // 8) * 8)
+            for l in range(n_levels)]
+    return {"dl": first_subsampling_dl, "conv_radius": conv_radius,
+            "n_levels": n_levels, "caps": tuple(caps),
+            "klims": tuple(int(k) for k in klims),
+            "deform_levels": tuple(deform_levels or [False] * n_levels),
+            "deform_scale": float(deform_scale)}
+
+
+def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
+                        plan: dict) -> Dict[str, np.ndarray]:
+    """Per-sample KPConv pyramid on the native C++ ops: per-level points
+    (voxel barycenters, reference grid_subsampling.cpp semantics), radius
+    conv/pool neighbor lists sorted by distance with shadow padding
+    (neighbors.cpp semantics). Matches models/kpconv.KPCNN's device pyramid
+    (radius schedule kpconv.py:148,196,234)."""
+    from .. import native
+
+    SHADOW_POS = 1e6
+    n_levels = plan["n_levels"]
+    caps, klims = plan["caps"], plan["klims"]
+    r = plan["dl"] * plan["conv_radius"]
+    out: Dict[str, np.ndarray] = {}
+
+    # level 0 keeps the ORIGINAL row order (indices address batch features);
+    # padding rows are parked far away so the radius search never hits them.
+    n0 = int(mask.sum())  # collate puts valid rows first
+    padded = np.where(mask[:, None], pos, SHADOW_POS).astype(np.float32)
+    m = mask.copy()
+    pts = pos[mask].astype(np.float32)
+
+    for l in range(n_levels):
+        cap = padded.shape[0]
+        n = int(m.sum())
+        out[f"kp_pts{l}"] = padded
+        out[f"kp_mask{l}"] = m
+        r_search = r * (plan["deform_scale"] if plan["deform_levels"][l]
+                        else 1.0)
+        nbr = native.radius_neighbors(padded, padded, r_search, klims[l])
+        nbr[~m] = cap
+        nbr[nbr >= n] = cap  # shadow index = padded support count
+        out[f"kp_conv{l}"] = nbr
+        if l < n_levels - 1:
+            dl_next = 2 * r / plan["conv_radius"]
+            sub, _ = native.grid_subsample(pts, dl_next)
+            next_cap = caps[l + 1]
+            sub = sub[:next_cap]
+            q_pad = np.full((next_cap, 3), SHADOW_POS, np.float32)
+            qm = np.zeros(next_cap, bool)
+            q_pad[: len(sub)] = sub
+            qm[: len(sub)] = True
+            pool = native.radius_neighbors(q_pad, padded, r_search, klims[l])
+            pool[~qm] = cap
+            pool[pool >= n] = cap
+            out[f"kp_pool{l}"] = pool
+            pts = sub
+            padded, m = q_pad, qm
+        r *= 2
+    return out
+
+
+def make_kpconv_post_collate(plan_fn):
+    """Loader post_collate for KPCNN: plan_fn(n0) -> plan; attaches aux."""
+    import dataclasses
+
+    def post_collate(batch):
+        plan = plan_fn(batch.pos.shape[1])
+        pos_b = np.asarray(batch.pos)
+        mask_b = np.asarray(batch.mask)
+        per = [kpconv_pyramid_host(pos_b[i], mask_b[i], plan)
+               for i in range(pos_b.shape[0])]
+        aux = {k: np.stack([p[k] for p in per]) for k in per[0]}
+        return dataclasses.replace(batch, aux=aux)
+
+    return post_collate

@@ -53,7 +53,8 @@ def test_sparse_resnet_forward_equal_with_aux(rng):
         num_reg_classes = 2
     net = build_resnet("SENet14", {"activation": "gelu", "first_stride": 1,
                                    "global_pool": "sum", "drop_path": 0.0,
-                                   "extra_options": {}}, _DS(), None)
+                                   "extra_options": {"dense_dims": None}},
+                       _DS(), None)
     from tests.test_voxel import TestSparseResNet
     b = TestSparseResNet()._batch(rng)
     variables = net.init(jax.random.PRNGKey(0), b, train=False)
@@ -97,3 +98,30 @@ def test_dense_forward_matches_map_forward(rng):
     out_dense = net_dense.apply(variables, b, train=False)
     np.testing.assert_allclose(np.asarray(out_map), np.asarray(out_dense),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_kpconv_host_pyramid_matches_device(rng):
+    """KPCNN forward with the native-C++ host pyramid (batch.aux) vs the
+    on-device pyramid: same point sets/neighborhoods -> same pooled output
+    (fp tolerance; tie-breaks at the radius boundary may differ)."""
+    from dpcr_agb_tpu import native
+    if not native.is_available():
+        pytest.skip("native lib not built")
+    from dpcr_agb_tpu.models.kpconv import KPCNN
+    from dpcr_agb_tpu.models.factory import make_post_collate
+    from tests.test_kpconv import TestKPCNN
+
+    net = KPCNN(architecture=["simple", "resnetb", "resnetb_strided",
+                              "resnetb", "global_sum"],
+                num_reg_targets=2, in_features_dim=3,
+                first_subsampling_dl=0.05, neighborhood_limits=[16, 16])
+    b = TestKPCNN()._batch(rng, n=128)
+    variables = net.init(jax.random.PRNGKey(0), b, train=False)
+    out_device = net.apply(variables, b, train=False)
+    post = make_post_collate(net)
+    assert post is not None
+    b_aux = post(b)
+    assert "kp_conv0" in b_aux.aux
+    out_host = net.apply(variables, b_aux, train=False)
+    np.testing.assert_allclose(np.asarray(out_device), np.asarray(out_host),
+                               rtol=2e-2, atol=2e-2)

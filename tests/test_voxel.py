@@ -168,7 +168,7 @@ class TestSparseResNet:
             num_reg_classes = 2
         net = build_resnet(arch, {"activation": "gelu", "first_stride": 1,
                                   "global_pool": "sum", "drop_path": 0.0,
-                                  "extra_options": {}},
+                                  "extra_options": {"dense_dims": [16, 16, 16]}},
                            _DS(), None)
         b = self._batch(rng)
         variables = net.init(jax.random.PRNGKey(0), b, train=False)
@@ -195,7 +195,7 @@ class TestSparseResNet:
                                        "first_stride": 1,
                                        "global_pool": "sum",
                                        "drop_path": 0.01,
-                                       "extra_options": {}}, _DS(), None)
+                                       "extra_options": {"dense_dims": [16, 16, 16]}}, _DS(), None)
         b = self._batch(rng)
         import dataclasses as dc
         b = dc.replace(b, y_reg=b.y_reg[:, :1], y_reg_mask=b.y_reg_mask[:, :1])
