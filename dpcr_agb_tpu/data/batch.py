@@ -32,6 +32,7 @@ class Batch:
     area_idx: Any                 # [B] i32
     label_idx: Any                # [B] i64
     is_double: Any                # [B] bool
+    valid: Any = None             # [B] bool (False = batch-padding sample)
     coords: Any = None            # [B, N, 3] i32 (sparse models only)
     stats: Any = None             # [B, S] f32
     aux: Any = None               # model-specific precomputed arrays (e.g.
@@ -79,8 +80,15 @@ class CollateSpec:
     use_coords: bool = False
 
 
-def collate(samples: List[dict], spec: CollateSpec) -> Batch:
-    """Pad a list of transform-layer sample dicts into one fixed-shape Batch."""
+def collate(samples: List[dict], spec: CollateSpec,
+            pad_to_batch: Optional[int] = None) -> Batch:
+    """Pad a list of transform-layer sample dicts into one fixed-shape Batch.
+    pad_to_batch > len(samples) repeats the first sample into padding rows
+    marked valid=False with all-False y_reg_mask (ragged final eval batches
+    keep the jitted step's static shape)."""
+    n_real = len(samples)
+    if pad_to_batch is not None and pad_to_batch > n_real:
+        samples = list(samples) + [samples[0]] * (pad_to_batch - n_real)
     bs = len(samples)
     counts = [s["pos"].shape[0] for s in samples]
     if spec.num_points is not None:
@@ -141,6 +149,9 @@ def collate(samples: List[dict], spec: CollateSpec) -> Batch:
         if stats is not None and s.get("stats") is not None:
             stats[i] = np.atleast_1d(s["stats"])
 
+    valid = np.zeros(bs, dtype=bool)
+    valid[:n_real] = True
+    y_reg_mask[n_real:] = False  # padding samples never contribute to loss
     return Batch(pos=pos, x=x, mask=mask, y_reg=y_reg, y_reg_mask=y_reg_mask,
                  area_idx=area_idx, label_idx=label_idx, is_double=is_double,
-                 coords=coords, stats=stats)
+                 valid=valid, coords=coords, stats=stats)

@@ -90,7 +90,8 @@ class Loader:
                             lambda t: self._make_sample(epoch, *t),
                             [(bi * self.batch_size + j, batch_idx[j], doubles[j])
                              for j in range(len(batch_idx))]))
-                        b = collate(samples, self.spec)
+                        b = collate(samples, self.spec,
+                                    pad_to_batch=self.batch_size)
                         if self.post_collate is not None:
                             b = self.post_collate(b)
                         q.put(b)

@@ -375,6 +375,8 @@ class Trainer:
         if every > 1 and batch_i % every:
             return
         sample_mask = ~np.asarray(batch.is_double)
+        if batch.valid is not None:
+            sample_mask &= np.asarray(batch.valid)
         self.tracker.track({
             "losses": {"loss": float(out["loss"]),
                        "loss_reg": float(out["loss_reg"])},
@@ -387,11 +389,14 @@ class Trainer:
     def _visualize(self, batch, out) -> None:
         if not self.visualizer.is_active:
             return
+        sample_mask = ~np.asarray(batch.is_double)
+        if batch.valid is not None:
+            sample_mask &= np.asarray(batch.valid)
         self.visualizer.save_visuals(
             np.asarray(out["reg_out"]), np.asarray(batch.y_reg),
             np.asarray(batch.area_idx), np.asarray(batch.label_idx),
             self.dataset.area_names, self.dataset.reg_targets,
-            sample_mask=~np.asarray(batch.is_double))
+            sample_mask=sample_mask)
 
     def _finalize_epoch(self, epoch: int, stage: str) -> Dict[str, float]:
         self.tracker.finalise()
