@@ -21,7 +21,35 @@ def main(overrides=None):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
-    cfg = load_config(CONF_DIR, "eval", overrides or sys.argv[1:])
+    overrides = list(overrides if overrides is not None else sys.argv[1:])
+    # checkpoint-only evaluation (reference ModelCheckpoint.create_model,
+    # model_checkpoint.py:182-193): when no data=/models= selections are
+    # given, rebuild the run configuration stored in the checkpoint.
+    if not any(o.startswith(("data=", "task=")) for o in overrides):
+        ckpt_dir = next((o.split("=", 1)[1] for o in overrides
+                         if o.startswith("checkpoint_dir=")), None)
+        name = next((o.split("=", 1)[1] for o in overrides
+                     if o.startswith("model_name=")), None)
+        if ckpt_dir and name:
+            import os as _os
+            from dpcr_agb_tpu.config import Cfg
+            from dpcr_agb_tpu.training.state import Checkpoint
+            path = _os.path.join(ckpt_dir, f"{name}.ckpt")
+            saved = Checkpoint.from_bytes(open(path, "rb").read()).run_config
+            cfg = Cfg({**saved})
+            from dpcr_agb_tpu.config.engine import (parse_overrides,
+                                                    _apply_edit, _parse_value)
+            groups, edits = parse_overrides(overrides)
+            for key, val in groups.items():
+                _apply_edit(cfg._data, "set", key, _parse_value(val))
+            for mode, key, val in edits:
+                _apply_edit(cfg._data, mode, key, val)
+            return _run_eval(cfg)
+    cfg = load_config(CONF_DIR, "eval", overrides)
+    return _run_eval(cfg)
+
+
+def _run_eval(cfg):
     if cfg.get("pretty_print"):
         print(cfg.pretty())
     # the trainer reads training.* keys; eval roots keep them at top level
