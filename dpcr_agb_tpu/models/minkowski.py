@@ -110,7 +110,11 @@ def make_norm(norm_type: str, features: int, bn_momentum: float,
                                axis_name=axis_name, name=name)
     if norm_type == "ln":
         return MaskedLayerNorm(features, name=name)
-    raise NotImplementedError(f"norm_type={norm_type!r} (bn, bn_no_affine, ln)")
+    if norm_type == "in":
+        from ..nn.norm import MaskedInstanceNorm
+        return MaskedInstanceNorm(features, name=name)
+    raise NotImplementedError(
+        f"norm_type={norm_type!r} (bn, bn_no_affine, in, ln)")
 
 
 class ResBlock(nn.Module):

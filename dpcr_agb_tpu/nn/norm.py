@@ -83,3 +83,23 @@ class MaskedLayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return y * scale + bias
+
+
+class MaskedInstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over valid rows — Minkowski
+    InstanceNorm equivalent (SENet.py:39-40 norm_type 'in')."""
+    features: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average: bool = False):
+        del use_running_average  # no running stats
+        m = jnp.expand_dims(mask, -1).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1e-12)
+        mean = jnp.sum(xf * m, axis=-2, keepdims=True) / count
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=-2, keepdims=True) / count
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return (y * scale + bias).astype(x.dtype)
