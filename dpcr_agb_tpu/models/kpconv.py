@@ -27,7 +27,7 @@ models).
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,6 @@ from ..nn.norm import MaskedBatchNorm
 from ..ops.kernel_points import load_kernel_points
 from ..ops.masked import masked_mean, masked_sum
 from ..ops.neighbors import grid_subsample, radius_neighbors
-from .pointnet import MPointNet  # noqa: F401  (shared factory import site)
 
 DEFAULT_POINT_FRACS = (1.0, 0.7, 0.35, 0.18, 0.1, 0.06)
 SHADOW_POS = 1e6

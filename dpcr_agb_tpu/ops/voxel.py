@@ -22,9 +22,7 @@ offsets in [-(k//2), k//2]^3 in input-stride units.
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import numpy as np
 import optax
 
 from ..models.base import InstanceSpec, compute_reg_loss, convert_outputs, reg_output
-from ..parallel.mesh import batch_sharding, replicate_sharding, shard_batch
+from ..parallel.mesh import replicate_sharding, shard_batch
 from .state import TrainState
 
 
