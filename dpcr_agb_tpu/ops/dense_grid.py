@@ -42,14 +42,15 @@ def scatter_to_dense(coords: jnp.ndarray, mask: jnp.ndarray,
     valid = mask & in_bounds
     flat_idx = (c[:, 0] * h + c[:, 1]) * w + c[:, 2]
     flat_idx = jnp.where(valid, flat_idx, d * h * w)  # drop row
-    dense = jnp.zeros((d * h * w, feats.shape[-1]), feats.dtype)
-    dense = dense.at[flat_idx].add(
-        jnp.where(valid[:, None], feats, 0), mode="drop")
-    occ = jnp.zeros((d * h * w, 1), feats.dtype)
-    occ = occ.at[flat_idx].max(
-        jnp.where(valid[:, None], 1.0, 0.0), mode="drop")
-    # duplicate coords can't occur (voxel-deduped upstream); .add is safe
-    return (dense.reshape(d, h, w, -1), occ.reshape(d, h, w, 1))
+    # single fused scatter: [feats | occupancy-indicator] in one pass
+    # (duplicate coords can't occur — voxels are deduped upstream)
+    payload = jnp.concatenate(
+        [jnp.where(valid[:, None], feats, 0),
+         valid[:, None].astype(feats.dtype)], axis=-1)
+    dense = jnp.zeros((d * h * w, payload.shape[-1]), feats.dtype)
+    dense = dense.at[flat_idx].add(payload, mode="drop")
+    dense = dense.reshape(d, h, w, -1)
+    return dense[..., :-1], dense[..., -1:]
 
 
 def gather_from_dense(dense: jnp.ndarray, coords: jnp.ndarray,

@@ -75,10 +75,13 @@ def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
         return new_params, new_stats, new_opt_state, out
 
     if mesh is None:
-        return jax.jit(step)
+        # donate params/stats/opt_state: the step replaces them, saving one
+        # HBM copy of the full training state per step
+        return jax.jit(step, donate_argnums=(0, 1, 2))
     repl = replicate_sharding(mesh)
     return jax.jit(step, in_shardings=(repl, repl, repl, None, None),
-                   out_shardings=(repl, repl, repl, repl))
+                   out_shardings=(repl, repl, repl, repl),
+                   donate_argnums=(0, 1, 2))
 
 
 def make_eval_step(net, spec: InstanceSpec, mesh=None,
