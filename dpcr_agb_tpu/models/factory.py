@@ -81,7 +81,24 @@ def make_post_collate(net) -> Optional[Callable]:
     from .minkowski import DEFAULT_LEVEL_FRACS, SparseResNet
     if isinstance(net, SparseResNet):
         if net.dense_dims is not None:
-            return None  # dense-grid path needs no host precompute
+            # dense path: only a z-extent bucket tag (dims specialize per
+            # bucket; the stem cost scales with the z dimension)
+            import dataclasses as _dc
+            import numpy as _np
+            z_max_dim = net.dense_dims[2]
+            buckets = sorted({min(b, z_max_dim)
+                              for b in (48, 64, 80, z_max_dim)})
+
+            def post_collate(batch):
+                coords = _np.asarray(batch.coords)
+                mask = _np.asarray(batch.mask)
+                z = coords[..., 2]
+                z_need = int(z[mask].max()) + 1 if mask.any() else 1
+                zb = next((b for b in buckets if b >= z_need), z_max_dim)
+                return _dc.replace(
+                    batch, aux={"zcells": _np.zeros(zb, _np.int8)})
+
+            return post_collate
         from ..ops.host_pyramid import (make_sparse_post_collate,
                                         resnet_pyramid_plan)
 

@@ -359,13 +359,22 @@ class SparseResNet(nn.Module):
     def _dense_forward(self, batch, train, enable_dropout, bottleneck, se,
                        act):
         """Dense-grid execution (same parameters/submodule names as the map
-        path — checkpoints interchange; parity is test-asserted)."""
+        path — checkpoints interchange; parity is test-asserted).
+
+        z-bucketing: when the loader attaches aux['zcells'] (a dummy array
+        whose LENGTH is the batch's z-extent bucket), the volume's z dim
+        shrinks to it — the stem cost scales with z, and jit re-specializes
+        per bucket (a handful of compiles)."""
         from ..ops.dense_grid import (dense_max_pool, occupancy_pool,
                                       scatter_to_dense)
         coords, mask = batch.coords, batch.mask
+        dims = tuple(self.dense_dims)
+        if isinstance(batch.aux, dict) and "zcells" in batch.aux:
+            dims = (dims[0], dims[1],
+                    min(int(batch.aux["zcells"].shape[-1]), dims[2]))
         feats = batch.x.astype(self.dtype)
         h, occ = jax.vmap(
-            lambda c, m, f: scatter_to_dense(c, m, f, self.dense_dims))(
+            lambda c, m, f: scatter_to_dense(c, m, f, dims))(
             coords, mask, feats)
 
         def norm_flat(y, occ_v, width, name):
