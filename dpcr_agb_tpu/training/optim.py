@@ -215,6 +215,10 @@ def make_lr_fn(scheduler_cfg, base_lr: float, update_on: str = "on_epoch",
         return constant(base_lr)
     get = scheduler_cfg.get if hasattr(scheduler_cfg, "get") else scheduler_cfg.__getitem__
     name = get("class", "constant")
+    if name == "ReduceLROnPlateau":
+        # metric-driven: the Trainer scales the lr externally
+        # (trainer._apply_plateau); the base schedule is constant
+        return constant(base_lr)
     params = get("params", {}) or {}
     params = {k: v for k, v in
               (params.to_dict() if hasattr(params, "to_dict") else params).items()

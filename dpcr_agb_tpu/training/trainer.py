@@ -150,6 +150,19 @@ class Trainer:
         if bn_sched:
             from .optim import bn_momentum_fn
             self.bn_momentum_fn = bn_momentum_fn(bn_sched)
+
+        # ReduceLROnPlateau (conf/lr_scheduler/plateau.yaml): metric-driven
+        # lr scaling with optimizer state preserved across rebuilds
+        sched_cfg = optim_cfg.get("lr_scheduler") or {}
+        self._plateau = None
+        if str(sched_cfg.get("class", "")) == "ReduceLROnPlateau":
+            p = sched_cfg.get("params", {}) or {}
+            self._plateau = {
+                "mode": str(p.get("mode", "min")),
+                "factor": float(p.get("factor", 0.1)),
+                "patience": int(p.get("patience", 10)),
+                "best": None, "bad": 0, "scale": 1.0,
+            }
         example = self._example_batch()
         self.state = self.runner.init_state(example)
         self._maybe_restore_weights()
@@ -169,20 +182,16 @@ class Trainer:
         self.visualizer = Visualizer(cfg.get("visualization", {}) or {},
                                      num_batches, self.batch_size, self.run_dir)
 
-    def _build_optimizer(self, optim_cfg) -> optax.GradientTransformation:
-        opt = optim_cfg.get("optimizer", {}) or {}
-        name = str(opt.get("class", "AdaBelief"))
-        params = _cfg_to_dict(opt.get("params", {}) or {})
-        params.pop("lr", None)
-        grad_clip = optim_cfg.get("grad_clip", -1)
+    def _make_tx(self, name: str, params: dict, grad_clip, lr_fn
+                 ) -> optax.GradientTransformation:
         chain = []
         if grad_clip and float(grad_clip) > 0:
             # torch clip_grad_value_ semantics (base_model.py:241-243)
             chain.append(optax.clip(float(grad_clip)))
         if name.lower() == "adabelief":
-            chain.append(adabelief(self.lr_fn, **params))
+            chain.append(adabelief(lr_fn, **params))
         elif name.lower() == "sgd":
-            chain.append(optax.sgd(self.lr_fn,
+            chain.append(optax.sgd(lr_fn,
                                    momentum=params.get("momentum", 0.0)))
             if params.get("weight_decay"):
                 chain.insert(-1, optax.add_decayed_weights(
@@ -192,11 +201,51 @@ class Trainer:
             kwargs = {}
             if name.lower() == "adamw" and "weight_decay" in params:
                 kwargs["weight_decay"] = float(params["weight_decay"])
-            chain.append(fn(self.lr_fn, **kwargs))
+            chain.append(fn(lr_fn, **kwargs))
         else:
             raise ValueError(f"Unknown optimizer: {name}")
+        return optax.chain(*chain)
+
+    def _build_optimizer(self, optim_cfg) -> optax.GradientTransformation:
+        opt = optim_cfg.get("optimizer", {}) or {}
+        name = str(opt.get("class", "AdaBelief"))
+        params = _cfg_to_dict(opt.get("params", {}) or {})
+        params.pop("lr", None)
+        grad_clip = optim_cfg.get("grad_clip", -1)
         self.optimizer_name = name
-        tx = optax.chain(*chain)
+
+        head_set = dict(self.bundle.head_optim_settings or {})
+        back_set = dict(self.bundle.backbone_optim_settings or {})
+        if head_set or back_set:
+            # per-group optimizer settings (reference get_parameter_list,
+            # minkowski.py:54-65): the head namespace gets its own hyperparams
+            ns = self.bundle.head_namespace
+
+            def group_tx(settings):
+                p = dict(params)
+                lr_fn = self.lr_fn
+                if "lr" in settings:
+                    from .optim import constant
+                    lr_fn = constant(float(settings["lr"]))
+                for k, v in settings.items():
+                    if k != "lr":
+                        p[k] = v
+                return self._make_tx(name, p, grad_clip, lr_fn)
+
+            def label_tree(param_tree):
+                def walk(node, path):
+                    if isinstance(node, dict):
+                        return {k: walk(v, path + (k,)) for k, v in
+                                node.items()}
+                    return "head" if any(ns in str(p) for p in path) \
+                        else "backbone"
+                return walk(param_tree, ())
+
+            tx = optax.multi_transform(
+                {"head": group_tx(head_set), "backbone": group_tx(back_set)},
+                label_tree)
+        else:
+            tx = self._make_tx(name, params, grad_clip, self.lr_fn)
         accum = int(optim_cfg.get("accumulated_gradient", 1) or 1)
         if accum > 1:
             # reference gradient accumulation (base_model.py:195-207):
@@ -255,6 +304,39 @@ class Trainer:
     def start_epoch(self) -> int:
         return self.checkpoint.start_epoch
 
+    def _apply_plateau(self, metrics: dict) -> None:
+        """ReduceLROnPlateau on the selection-stage loss: after `patience`
+        non-improving evals, scale the lr and rebuild the jitted step
+        (optimizer state is preserved — same pytree structure)."""
+        if self._plateau is None:
+            return
+        key = next((k for k in metrics if k.endswith("_loss")), None)
+        if key is None:
+            return
+        value = float(metrics[key])
+        st = self._plateau
+        better = st["best"] is None or (
+            value < st["best"] if st["mode"] == "min" else value > st["best"])
+        if better:
+            st["best"], st["bad"] = value, 0
+            return
+        st["bad"] += 1
+        if st["bad"] > st["patience"]:
+            st["scale"] *= st["factor"]
+            st["bad"] = 0
+            scale = st["scale"]
+            base = self.lr_fn
+            log.info(f"ReduceLROnPlateau: lr scale -> {scale:g}")
+            scaled = lambda c, _b=base, _s=scale: _b(c) * _s  # noqa: E731
+            optim_cfg = self.training_cfg.get("optim", {}) or {}
+            opt = optim_cfg.get("optimizer", {}) or {}
+            params = _cfg_to_dict(opt.get("params", {}) or {})
+            params.pop("lr", None)
+            self.tx = self._make_tx(self.optimizer_name, params,
+                                    optim_cfg.get("grad_clip", -1), scaled)
+            self.runner = dataclasses.replace(self.runner, tx=self.tx)
+            self.runner.__post_init__()
+
     def train(self) -> None:
         if self.find_neighbour_dist:
             from ..utils.neighbor_calibration import run_find_neighbour_dist
@@ -276,7 +358,9 @@ class Trainer:
             if self.eval_frequency and epoch % self.eval_frequency == 0:
                 for stage in ("val", "test"):
                     if self.loaders.get(stage):
-                        self._test_epoch(epoch, stage)
+                        metrics = self._test_epoch(epoch, stage)
+                        if stage == (self.selection_stage or "val"):
+                            self._apply_plateau(metrics)
 
     def eval(self, stage: str = "test") -> Dict[str, float]:
         if self.loaders.get(stage) is None:
