@@ -21,6 +21,7 @@ these sizes. Parity with ops/voxel.py is test-asserted.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence, Tuple
 
 import jax
@@ -28,6 +29,17 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e30
+
+# D-fold reformulation of tiny-Cin convs (the k7 Cin<=4 stem). Microbenched
+# in isolation it crushes XLA's 3D conv emitter (fwd 140->71 ms, dw
+# 350->78 ms at bs16 [88,88,80] bf16), but IN-MODEL it is a net loss:
+# fold-in-forward poisons global layout assignment (batch lands on the lane
+# dim -> 8x-padded whole-volume tensors -> OOM), and fold-in-backward-only
+# via custom_vjp measured 40.8 vs 46.3 plots/s (cotangent layout copies at
+# the custom_vjp boundary; XLA already fuses the in-model stem backward far
+# better than the standalone microbench suggested). Kept off; the code and
+# its parity tests stay as the starting point for a Pallas stem kernel.
+USE_DFOLD_TINY_CIN = False
 
 
 def scatter_to_dense(coords: jnp.ndarray, mask: jnp.ndarray,
@@ -67,10 +79,18 @@ def dense_conv(x: jnp.ndarray, occ_out: jnp.ndarray, weights: jnp.ndarray,
                compute_dtype=jnp.float32) -> jnp.ndarray:
     """x [B,D,H,W,Cin]; weights [K^3,Cin,Cout] in hypercube offset order
     (z fastest — matches reshape to [k,k,k,Cin,Cout]); occ_out masks output
-    sites. Returns [B,D',H',W',Cout] f32."""
+    sites. Returns [B,D',H',W',Cout] f32.
+
+    See USE_DFOLD_TINY_CIN for the (disabled) tiny-Cin stem
+    reformulation and the measurements behind keeping it off."""
     k = kernel_size
-    w_dense = weights.reshape(k, k, k, weights.shape[-2], weights.shape[-1])
+    cin, cout = weights.shape[-2], weights.shape[-1]
+    w_dense = weights.reshape(k, k, k, cin, cout)
     pad = k // 2
+    if USE_DFOLD_TINY_CIN and cin * k <= 32:
+        y = _tiny_cin_conv(x.astype(compute_dtype),
+                           w_dense.astype(compute_dtype), k, stride)
+        return y * occ_out.astype(y.dtype)
     # compute natively in compute_dtype (MXU accumulates f32 for bf16 inputs;
     # a mixed-dtype preferred_element_type breaks the conv transpose rule)
     y = jax.lax.conv_general_dilated(
@@ -78,6 +98,80 @@ def dense_conv(x: jnp.ndarray, occ_out: jnp.ndarray, weights: jnp.ndarray,
         window_strides=(stride, stride, stride),
         padding=[(pad, pad)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y * occ_out.astype(y.dtype)
+
+
+def _conv3d_plain(x: jnp.ndarray, w5: jnp.ndarray, k: int,
+                  stride: int) -> jnp.ndarray:
+    pad = k // 2
+    return jax.lax.conv_general_dilated(
+        x, w5, (stride,) * 3, [(pad, pad)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _tiny_cin_conv(x: jnp.ndarray, w5: jnp.ndarray, k: int,
+                   stride: int) -> jnp.ndarray:
+    """Tiny-Cin (stem) conv: plain 3D conv forward, D-fold backward.
+
+    XLA's 3D dw-conv for Cin=3 k=7 is pathological on TPU (measured 350 ms
+    at bs16 [88,88,80] vs 65-80 ms through the fold). Running the fold in
+    the FORWARD graph instead poisons global layout assignment (batch lands
+    on the lane dim for whole-volume tensors -> 8x padding -> OOM), so the
+    fold lives only in the backward graph, whose layouts are isolated from
+    the forward activations. The dx branch is dead-code-eliminated by XLA
+    whenever the conv input is batch data (the stem), so its cost is zero
+    in the training step."""
+    return _conv3d_plain(x, w5, k, stride)
+
+
+def _tiny_cin_conv_fwd(x, w5, k, stride):
+    return _conv3d_plain(x, w5, k, stride), (x, w5)
+
+
+def _tiny_cin_conv_bwd(k, stride, res, ct):
+    x, w5 = res
+    _, vjp = jax.vjp(
+        lambda x_, w_: _dense_conv_dfold_core(x_, w_, k, stride), x, w5)
+    return vjp(ct)
+
+
+_tiny_cin_conv.defvjp(_tiny_cin_conv_fwd, _tiny_cin_conv_bwd)
+
+
+def _dense_conv_dfold_core(x: jnp.ndarray, w_dense: jnp.ndarray, k: int,
+                           stride: int) -> jnp.ndarray:
+    """Equivalent conv with the D-axis taps folded into channels.
+
+    out[b, d', h', w', o] = sum_{dd,dh,dw,c} w[dd,dh,dw,c,o] *
+        xpad[b, s*d' + dd, s*h' + dh, s*w' + dw, c]
+    Fold: xs[b, i, h, w, dd*Cin + c] = xpad[b, i + dd, h, w, c] sampled at
+    i = 0, s, 2s, ... then a depth-1 3D conv finishes the (h, w) taps.
+    A [B*D', H, W, kCin] 2D-conv reshape is ~1.7x faster still, but the
+    reshape poisons downstream layouts (XLA propagates a 2x-padded
+    pool-backward volume layout -> OOM at bs16), so we keep 5D NDHWC."""
+    b, d, h, w_sp, cin = x.shape
+    cout = w_dense.shape[-1]
+    pad = k // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    n_out = (d + 2 * pad - k) // stride + 1
+    last = (n_out - 1) * stride
+    xs = jnp.concatenate(
+        [xp[:, dd:dd + last + 1:stride] for dd in range(k)], axis=-1)
+    wf = jnp.transpose(w_dense, (1, 2, 0, 3, 4))
+    wf = wf.reshape(1, k, k, k * cin, cout)
+    return jax.lax.conv_general_dilated(
+        xs, wf.astype(x.dtype),
+        window_strides=(1, stride, stride),
+        padding=[(0, 0), (pad, pad), (pad, pad)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def _dense_conv_dfold(x: jnp.ndarray, occ_out: jnp.ndarray,
+                      w_dense: jnp.ndarray, k: int, stride: int,
+                      compute_dtype) -> jnp.ndarray:
+    y = _dense_conv_dfold_core(x.astype(compute_dtype),
+                               w_dense.astype(compute_dtype), k, stride)
     return y * occ_out.astype(y.dtype)
 
 

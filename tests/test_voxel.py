@@ -227,3 +227,49 @@ class TestSparseResNet:
         # gradients flow end-to-end: params moved, stats updated
         assert not np.allclose(np.asarray(p0),
                                np.asarray(jax.tree_util.tree_leaves(params)[0]))
+
+
+class TestDenseConvDFold:
+    """The tiny-Cin D-fold 2D reformulation must be bit-class-identical to
+    the plain 3D conv (same math, different XLA emitter)."""
+
+    @pytest.mark.parametrize("ksize,stride,cin", [(7, 1, 3), (3, 1, 4),
+                                                  (3, 2, 3), (7, 2, 1)])
+    def test_dfold_matches_3d(self, rng, ksize, stride, cin):
+        from dpcr_agb_tpu.ops.dense_grid import (_dense_conv_dfold,
+                                                 dense_conv, level_dims)
+        b, dims, cout = 2, (9, 8, 7), 5
+        x = jnp.asarray(rng.normal(size=(b, *dims, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(ksize ** 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        odims = dims if stride == 1 else level_dims(dims, 1)
+        occ = jnp.asarray(
+            rng.integers(0, 2, size=(b, *odims, 1)), jnp.float32)
+        w5 = w.reshape(ksize, ksize, ksize, cin, cout)
+        pad = ksize // 2
+
+        def plain(x_, w5_):
+            return jax.lax.conv_general_dilated(
+                x_, w5_, (stride,) * 3, [(pad, pad)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) * occ
+
+        ref = plain(x, w5)
+        got = _dense_conv_dfold(x, occ, w5, ksize, stride, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # dense_conv (plain path by default) agrees too
+        via_api = dense_conv(x, occ, w, ksize, stride)
+        np.testing.assert_allclose(np.asarray(via_api), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # custom_vjp backward (dfold dw/dx) == autodiff of the plain conv
+        from dpcr_agb_tpu.ops.dense_grid import _tiny_cin_conv
+        ct = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+        gx_ref, gw_ref = jax.grad(
+            lambda x_, w5_: jnp.sum(plain(x_, w5_) * ct), (0, 1))(x, w5)
+        gx, gw = jax.grad(
+            lambda x_, w_: jnp.sum(_tiny_cin_conv(x_, w_, ksize, stride)
+                                   * occ * ct), (0, 1))(x, w5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                                   rtol=1e-4, atol=1e-4)
