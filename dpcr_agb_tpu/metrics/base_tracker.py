@@ -86,6 +86,27 @@ class BaseTracker:
             import wandb
             wandb.log({**metrics, "epoch": epoch})
 
+    def publish_best_tables(self, improved, metrics: Dict[str, Any],
+                            epoch: int):
+        """Log one wandb.Table per newly-improved best metric, snapshotting
+        ALL current metrics at that best epoch (reference
+        model_checkpoint.py:296-342: `{stage}_best_{metric}` tables with
+        columns [epoch, metric, value]). No-op without wandb."""
+        if not self._wandb or not improved:
+            return
+        import wandb
+        log_metrics = {}
+        prefix = f"{self._stage}_"
+        for metric_name in improved:
+            short = metric_name[len(prefix):] \
+                if metric_name.startswith(prefix) else metric_name
+            table = wandb.Table(columns=["epoch", "metric", "value"])
+            for metric, value in metrics.items():
+                # our metric keys already carry the stage prefix
+                table.add_data(epoch, metric, value)
+            log_metrics[f"{self._stage}_best_{short}"] = table
+        wandb.log(log_metrics)
+
     def print_summary(self):
         metrics = self.get_metrics(verbose=True)
         print("".join(f"    {k} = {v}\n" for k, v in metrics.items()))

@@ -490,6 +490,7 @@ class Trainer:
             self.optimizer_name)
         if improved:
             log.info(f"improved: {', '.join(improved)}")
+            self.tracker.publish_best_tables(improved, metrics, epoch)
         self.tracker.publish_metrics(metrics, epoch)
         self.visualizer.finalize_epoch(self.dataset)
         return metrics

@@ -106,7 +106,7 @@ def aggregate(per_trial: list, targets) -> dict:
     return agg
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", nargs="*", default=None,
                     help="directories each holding one trial's *_preds.csv")
@@ -114,7 +114,7 @@ def main():
                     help="glob expanding to trial directories")
     ap.add_argument("--stage", default="test")
     ap.add_argument("--no-bias-correction", action="store_true")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     trial_dirs = list(args.trials or [])
     if args.glob:

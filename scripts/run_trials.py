@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Multi-trial orchestration: train -> (optional BN recalibration) ->
+eval-with-export -> aggregate, N seeds per model.
+
+Automates the manual loop in scripts/reproduce_nfi.md (the reference's
+published numbers are medians/extremes over 5 trials per model —
+BASELINE.md; reference protocol: README.md:150-180 + the eval notebooks).
+
+Each trial runs in-process sequentially (ONE TPU client process at a time —
+the chip serializes concurrent clients). Trials that already have a
+checkpoint in their run_dir are skipped, so the script is resumable.
+
+Example (synthetic smoke):
+  python scripts/run_trials.py --trials 2 --out outputs/senet14 \
+    -- task=instance models=instance/minkowski_baseline model_name=SENet14 \
+       data=instance/synthetic/reg data.transform_type=sparse_xy \
+       training=nfi/minkowski training.epochs=3 lr_scheduler=cosineawr \
+       update_lr_scheduler_on=on_num_batch
+
+Everything after `--` is passed to train.py verbatim; eval overrides are
+derived (transform preset -> its *_eval variant unless --eval-transform is
+given). Aggregation calls eval_scores.main on the produced exports.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _get_override(overrides, key, default=None):
+    for o in overrides:
+        if o.startswith(key + "="):
+            return o.split("=", 1)[1]
+    return default
+
+
+def _without(overrides, *keys):
+    return [o for o in overrides
+            if not any(o.startswith(k + "=") for k in keys)]
+
+
+def derive_eval_transform(train_transform: str) -> str:
+    """sparse_xy -> sparse_xy_eval, xy -> xy_eval, fixed_xy -> fixed_xy_eval;
+    already-eval presets pass through."""
+    if train_transform is None:
+        return None
+    if train_transform.endswith("_eval"):
+        return train_transform
+    return train_transform + "_eval"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--seed-base", type=int, default=0)
+    ap.add_argument("--out", required=True,
+                    help="parent dir; trials land in <out>/trial<i>")
+    ap.add_argument("--calibrate-bn", type=int, default=0, metavar="EPOCHS",
+                    help="run calibrate_bn for EPOCHS before eval (0 = off)")
+    ap.add_argument("--weight-name", default="total_BMag_ha_rmse")
+    ap.add_argument("--eval-transform", default=None,
+                    help="override the derived *_eval transform preset")
+    ap.add_argument("--stage", default="test",
+                    help="aggregation stage for eval_scores")
+    ap.add_argument("--skip-aggregate", action="store_true")
+    ap.add_argument("overrides", nargs="*",
+                    help="train.py overrides (put them after `--`)")
+    args = ap.parse_args(argv)
+    if not args.overrides:
+        ap.error("no train.py overrides given (pass them after `--`)")
+
+    import train as train_mod
+    import eval as eval_mod
+
+    train_tf = _get_override(args.overrides, "data.transform_type")
+    eval_tf = args.eval_transform or derive_eval_transform(train_tf)
+    model_name = _get_override(args.overrides, "model_name", "model")
+
+    eval_dirs = []
+    for i in range(args.trials):
+        seed = args.seed_base + i
+        run_dir = os.path.join(args.out, f"trial{seed}")
+        eval_dir = os.path.join(run_dir, "eval")
+        eval_dirs.append(eval_dir)
+        ckpt = os.path.join(run_dir, f"{model_name}.ckpt")
+        if os.path.exists(ckpt):
+            print(f"[run_trials] trial{seed}: checkpoint exists, skip train",
+                  flush=True)
+        else:
+            print(f"[run_trials] trial{seed}: training (seed={seed})",
+                  flush=True)
+            train_mod.main(args.overrides +
+                           [f"seed={seed}", f"run_dir={run_dir}"])
+        if args.calibrate_bn:
+            import calibrate_bn as cal_mod
+            print(f"[run_trials] trial{seed}: BN recalibration "
+                  f"({args.calibrate_bn} epochs)", flush=True)
+            cal_mod.main(args.overrides + [
+                f"seed={seed}", f"checkpoint_dir={run_dir}",
+                f"epochs={args.calibrate_bn}", f"run_dir={run_dir}"])
+        done_marker = os.path.join(eval_dir, ".eval_done")
+        if os.path.exists(done_marker):
+            print(f"[run_trials] trial{seed}: eval exists, skip", flush=True)
+            continue
+        print(f"[run_trials] trial{seed}: eval ({eval_tf})", flush=True)
+        ev = _without(args.overrides, "data.transform_type", "training",
+                      "lr_scheduler", "update_lr_scheduler_on") + [
+            f"checkpoint_dir={run_dir}", f"run_dir={eval_dir}",
+            f"weight_name={args.weight_name}",
+            "eval_stages=[train,val,test]"]
+        if eval_tf:
+            ev.append(f"data.transform_type={eval_tf}")
+        eval_mod.main(ev)
+        with open(done_marker, "w") as f:
+            f.write("ok\n")
+
+    if args.skip_aggregate:
+        return 0
+    import eval_scores
+    print(f"[run_trials] aggregating {len(eval_dirs)} trials "
+          f"(stage={args.stage})", flush=True)
+    result = eval_scores.main(
+        ["--glob", os.path.join(args.out, "trial*", "eval"),
+         "--stage", args.stage])
+    summary = {"trials": args.trials, "out": args.out,
+               "eval_transform": eval_tf, "weight_name": args.weight_name,
+               "scores": result}
+    with open(os.path.join(args.out, "trials_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -129,3 +129,37 @@ def test_publish_writes_jsonl(tmp_path):
     import json
     rec = json.loads((tmp_path / "metrics.jsonl").read_text().strip())
     assert rec["epoch"] == 3 and rec["val_loss"] == pytest.approx(0.7)
+
+
+def test_publish_best_tables_logs_one_table_per_improved(monkeypatch):
+    """Reference model_checkpoint.py:296-342: each newly-improved best
+    metric logs a wandb.Table snapshotting all current metrics."""
+    import sys
+    import types
+    from dpcr_agb_tpu.metrics.base_tracker import BaseTracker
+
+    logged = {}
+
+    class FakeTable:
+        def __init__(self, columns):
+            self.columns, self.rows = columns, []
+
+        def add_data(self, *row):
+            self.rows.append(row)
+
+    fake = types.SimpleNamespace(Table=FakeTable,
+                                 log=lambda d: logged.update(d))
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    tr = BaseTracker("val", wandb_log=False)
+    tr._wandb = True  # force the gated path with the stub
+    metrics = {"val_total_V_ha_rmse": 1.0, "val_total_V_ha_r2": 0.5}
+    tr.publish_best_tables(["val_total_V_ha_rmse"], metrics, epoch=7)
+    assert set(logged) == {"val_best_total_V_ha_rmse"}
+    t = logged["val_best_total_V_ha_rmse"]
+    assert t.columns == ["epoch", "metric", "value"]
+    assert (7, "val_total_V_ha_rmse", 1.0) in t.rows
+    assert (7, "val_total_V_ha_r2", 0.5) in t.rows
+    # no-op without improvements
+    logged.clear()
+    tr.publish_best_tables([], metrics, epoch=8)
+    assert logged == {}
