@@ -78,23 +78,40 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def build(bi, batch_idx):
+            """One whole batch: transforms + collate + post_collate. Batches
+            build CONCURRENTLY across workers (the heavy host work — e.g.
+            the KPConv C++ pyramid at ~2.5 s/batch — must not serialize on
+            one producer thread); results are forwarded in order."""
+            doubles = np.zeros(len(batch_idx), dtype=bool)
+            doubles[1:] = batch_idx[1:] == batch_idx[:-1]
+            samples = [self._make_sample(epoch, bi * self.batch_size + j,
+                                         batch_idx[j], doubles[j])
+                       for j in range(len(batch_idx))]
+            b = collate(samples, self.spec, pad_to_batch=self.batch_size)
+            if self.post_collate is not None:
+                b = self.post_collate(b)
+            return b
+
         def produce():
+            from collections import deque
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for bi, batch_idx in enumerate(batches):
-                        if stop.is_set():
+                    futs: deque = deque()
+                    it = iter(enumerate(batches))
+                    exhausted = False
+                    in_flight = self.num_workers + self.prefetch
+                    while not stop.is_set():
+                        while not exhausted and len(futs) < in_flight:
+                            try:
+                                bi, bidx = next(it)
+                            except StopIteration:
+                                exhausted = True
+                                break
+                            futs.append(pool.submit(build, bi, bidx))
+                        if not futs:
                             break
-                        doubles = np.zeros(len(batch_idx), dtype=bool)
-                        doubles[1:] = batch_idx[1:] == batch_idx[:-1]
-                        samples = list(pool.map(
-                            lambda t: self._make_sample(epoch, *t),
-                            [(bi * self.batch_size + j, batch_idx[j], doubles[j])
-                             for j in range(len(batch_idx))]))
-                        b = collate(samples, self.spec,
-                                    pad_to_batch=self.batch_size)
-                        if self.post_collate is not None:
-                            b = self.post_collate(b)
-                        q.put(b)
+                        q.put(futs.popleft().result())
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:

@@ -21,9 +21,13 @@ Semantics preserved (file:line refs into the reference):
   * KPConv weights kaiming_uniform(a=sqrt(5)) (blocks.py:244-247)
 
 Documented divergences: random grid orientation (common.py:39-144) is off by
-default (deterministic eval; enable via config `random_grid_orient`);
-deformable KPConv variants are not implemented (unused by the paper's
-models).
+default (deterministic eval; enable via config `random_grid_orient`).
+
+TPU fast path (rigid kernels): batched flat-row gathers (_batched_rows),
+per-level shared influence weights, and an optional host edge transpose for
+a scatter-free gather backward (off by default — see
+host_pyramid.kpconv_pyramid_host). Measured on v5e at bs8/16384 pts/K40:
+device train step 1353 -> ~1100 ms for the paper's 14-block architecture.
 """
 from __future__ import annotations
 
@@ -44,18 +48,112 @@ DEFAULT_POINT_FRACS = (1.0, 0.7, 0.35, 0.18, 0.1, 0.06)
 SHADOW_POS = 1e6
 
 
-def kpconv_apply(q_pts, s_pts, nbr, x, kernel_pts, weights, extent,
-                 influence: str = "linear", aggregation: str = "sum",
-                 offsets=None, modulations=None):
-    """Core KPConv op (blocks.py:296-400), per sample.
+def _batched_rows(x_pad, nbr):
+    """x_pad [B,N,C], nbr [B,Nq,K] -> [B,Nq,K,C] as ONE 2D row gather over
+    the batch-flattened table (measured 1.7x faster on TPU than the vmapped
+    per-sample 3D gather: 40 vs 68 ms at bs8/16384/K40)."""
+    b, n, c = x_pad.shape
+    idx = nbr + (jnp.arange(b, dtype=nbr.dtype) * n)[:, None, None]
+    return x_pad.reshape(b * n, c)[idx.reshape(-1)].reshape(*nbr.shape, c)
 
-    q_pts [Nq,3]; s_pts [Ns,3]; nbr [Nq,K] (Ns = shadow); x [Ns,Cin];
-    kernel_pts [Kp,3]; weights [Kp,Cin,Cout]. Deformable variant: offsets
-    [Nq,Kp,3] shift the kernel points per query, modulations [Nq,Kp] scale
-    the per-kernel-point features (blocks.py:264-351). Returns [Nq,Cout] f32
-    (plus min_d2 [Nq,Kp] when deformable — for the p2p fitting loss).
+
+@jax.custom_vjp
+def neighbor_gather(x_pad, nbr, perm, off):
+    """Row gather [B,N,C] by [B,Nq,K] -> [B,Nq,K,C] whose TRANSPOSE is
+    scatter-free. XLA's gather backward is a scatter-add (measured 128 ms vs
+    the 42 ms forward at bs8/16384/K40); with the host-precomputed edge-sort
+    permutation `perm` [B,Nq*K] and segment offsets `off` [B,N+1]
+    (host_pyramid._edge_transpose), the backward becomes gather + cumsum +
+    boundary diff — all TPU-fast primitives.
+
+    Numerics: the backward sums each support's cotangents as a difference of
+    f32 prefix sums over the ~Nq*K edge axis — same f32 accumulation class
+    as the reference's nondeterministic CUDA atomics scatter.
     """
-    ns = s_pts.shape[0]
+    return _batched_rows(x_pad, nbr)
+
+
+def _neighbor_gather_fwd(x_pad, nbr, perm, off):
+    return _batched_rows(x_pad, nbr), (nbr, perm, off)
+
+
+def _neighbor_gather_bwd(res, ct):
+    nbr, perm, off = res
+    b = ct.shape[0]
+    c = ct.shape[-1]
+    flat_ct = ct.reshape(b, -1, c)                           # [B,E,C]
+    sorted_ct = _batched_rows(flat_ct, perm[:, :, None])[:, :, 0, :]
+    cs = jnp.concatenate(
+        [jnp.zeros((b, 1, c), ct.dtype),
+         jnp.cumsum(sorted_ct, axis=1)], axis=1)             # [B,E+1,C]
+    cs_at = _batched_rows(cs, off[:, :, None])[:, :, 0, :]   # [B,N+1,C]
+    dx = cs_at[:, 1:] - cs_at[:, :-1]                        # [B,N,C]
+    return dx, None, None, None
+
+
+neighbor_gather.defvjp(_neighbor_gather_fwd, _neighbor_gather_bwd)
+
+
+def kp_influence_weights_batched(q_pts, s_pts, nbr, kernel_pts, extent,
+                                 influence: str = "linear",
+                                 aggregation: str = "sum"):
+    """Batched rigid influence weights [B,Nq,K,Kp] (kp_influence_weights
+    semantics over a leading batch axis, flat-gather fast path)."""
+    b = s_pts.shape[0]
+    s_pad = jnp.concatenate(
+        [s_pts, jnp.full((b, 1, 3), SHADOW_POS, s_pts.dtype)], axis=1)
+    neighbors = _batched_rows(s_pad, nbr) - q_pts[:, :, None, :]
+    diff = neighbors[:, :, :, None, :] - kernel_pts[None, None, None]
+    sq_d = jnp.sum(jnp.square(diff), axis=-1)                # [B,Nq,K,Kp]
+    if influence == "constant":
+        all_w = jnp.ones_like(sq_d)
+    elif influence == "linear":
+        all_w = jnp.clip(1.0 - jnp.sqrt(sq_d) / extent, 0.0)
+    elif influence == "gaussian":
+        sigma = extent * 0.3
+        all_w = jnp.exp(-sq_d / (2 * sigma * sigma + 1e-9))
+    else:
+        raise ValueError(f"Unknown KP_influence: {influence}")
+    if aggregation == "closest":
+        closest = jnp.argmin(sq_d, axis=-1)
+        all_w = all_w * jax.nn.one_hot(closest, kernel_pts.shape[0],
+                                       dtype=all_w.dtype)
+    elif aggregation != "sum":
+        raise ValueError(f"Unknown aggregation_mode: {aggregation}")
+    return all_w
+
+
+def kpconv_apply_batched(nbr, x, weights, all_w, edge_t=None):
+    """Batched rigid KPConv given precomputed influences: nbr [B,Nq,K],
+    x [B,Ns,C], weights [Kp,Cin,Cout], all_w [B,Nq,K,Kp] -> [B,Nq,Cout].
+    edge_t = (perm, off) host edge transpose -> scatter-free backward."""
+    b, ns, c = x.shape
+    x_pad = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
+    if edge_t is not None:
+        neighb_x = neighbor_gather(x_pad, nbr, *edge_t)      # [B,Nq,K,C]
+    else:
+        neighb_x = _batched_rows(x_pad, nbr)
+    weighted = jnp.einsum("bqkp,bqkc->bqpc", all_w, neighb_x)
+    return jnp.einsum("bqpc,pcd->bqd", weighted, weights,
+                      preferred_element_type=jnp.float32)
+
+
+def max_pool_zero_shadow_batched(x, nbr):
+    """Batched max_pool_zero_shadow via the flat row gather."""
+    b, ns, c = x.shape
+    x_pad = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
+    return jnp.max(_batched_rows(x_pad, nbr), axis=2)
+
+
+def kp_influence_weights(q_pts, s_pts, nbr, kernel_pts, extent,
+                         influence: str = "linear",
+                         aggregation: str = "sum", offsets=None):
+    """Per-sample influence weights all_w [Nq,K,Kp] (+ min_d2 when
+    deformable). Pure geometry — independent of features and parameters, so
+    for rigid kernels it is IDENTICAL for every KPConv sharing a (queries,
+    supports, neighbors) triple and can be computed once per pyramid level
+    (the TPU hot spot: the [Nq,K,Kp,3] diff tensor is HBM-bound, measured
+    ~77 ms of a 123 ms level-0 layer forward at bs8/16384/40)."""
     s_pad = jnp.concatenate(
         [s_pts, jnp.full((1, 3), SHADOW_POS, s_pts.dtype)], axis=0)
     neighbors = s_pad[nbr] - q_pts[:, None, :]               # [Nq,K,3]
@@ -83,6 +181,30 @@ def kpconv_apply(q_pts, s_pts, nbr, x, kernel_pts, weights, extent,
                                        dtype=all_w.dtype)
     elif aggregation != "sum":
         raise ValueError(f"Unknown aggregation_mode: {aggregation}")
+    return all_w, min_d2
+
+
+def kpconv_apply(q_pts, s_pts, nbr, x, kernel_pts, weights, extent,
+                 influence: str = "linear", aggregation: str = "sum",
+                 offsets=None, modulations=None, all_w=None):
+    """Core KPConv op (blocks.py:296-400), per sample.
+
+    q_pts [Nq,3]; s_pts [Ns,3]; nbr [Nq,K] (Ns = shadow); x [Ns,Cin];
+    kernel_pts [Kp,3]; weights [Kp,Cin,Cout]. Deformable variant: offsets
+    [Nq,Kp,3] shift the kernel points per query, modulations [Nq,Kp] scale
+    the per-kernel-point features (blocks.py:264-351). Returns [Nq,Cout] f32
+    (plus min_d2 [Nq,Kp] when deformable — for the p2p fitting loss).
+
+    `all_w` short-circuits the geometry: pass precomputed influence weights
+    [Nq,K,Kp] (kp_influence_weights) shared by every rigid KPConv at the
+    same pyramid level. Rigid only — deformable offsets change the geometry
+    per layer.
+    """
+    min_d2 = None
+    if all_w is None:
+        all_w, min_d2 = kp_influence_weights(
+            q_pts, s_pts, nbr, kernel_pts, extent, influence, aggregation,
+            offsets)
 
     all_w = jnp.swapaxes(all_w, 1, 2)                        # [Nq,Kp,K]
     x_pad = jnp.concatenate(
@@ -123,16 +245,20 @@ class KPConvOp(nn.Module):
     repulse_extent: float = 1.2
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, nbr, x):
-        """Batched: q_pts [B,Nq,3], s_pts [B,Ns,3], nbr [B,Nq,K], x [B,Ns,C]."""
+    def __call__(self, q_pts, s_pts, nbr, x, all_w=None, edge_t=None):
+        """Batched: q_pts [B,Nq,3], s_pts [B,Ns,3], nbr [B,Nq,K], x [B,Ns,C];
+        all_w [B,Nq,K,Kp] = shared precomputed influence weights (rigid);
+        edge_t = (perm, off) host edge transpose for scatter-free backward."""
         kp = jnp.asarray(self.kernel_points)
         n_kp = kp.shape[0]
         weights = self.param("weights", _kp_weight_init,
                              (n_kp, x.shape[-1], self.out_channels))
         if not self.deformable:
-            return jax.vmap(lambda q, s, n, f: kpconv_apply(
-                q, s, n, f, kp, weights, self.extent, self.influence,
-                self.aggregation))(q_pts, s_pts, nbr, x)
+            if all_w is None:
+                all_w = kp_influence_weights_batched(
+                    q_pts, s_pts, nbr, kp, self.extent, self.influence,
+                    self.aggregation)
+            return kpconv_apply_batched(nbr, x, weights, all_w, edge_t)
 
         # deformable: a rigid offset sub-conv predicts per-query kernel-point
         # offsets (+ modulations), zero-initialized bias (blocks.py:213-247)
@@ -286,6 +412,12 @@ class KPCNN(nn.Module):
                     aux[f"kp_mask{l}"]) for l in range(n_levels)]
             conv_nbrs = [aux[f"kp_conv{l}"] for l in range(n_levels)]
             pool_nbrs = [aux[f"kp_pool{l}"] for l in range(n_levels - 1)]
+            conv_edges = [(aux[f"kp_cperm{l}"], aux[f"kp_coff{l}"])
+                          if f"kp_cperm{l}" in aux else None
+                          for l in range(n_levels)]
+            pool_edges = [(aux[f"kp_pperm{l}"], aux[f"kp_poff{l}"])
+                          if f"kp_pperm{l}" in aux else None
+                          for l in range(n_levels - 1)]
         else:
             pts = [(pos.astype(jnp.float32), mask)]
             conv_nbrs, pool_nbrs = [], []
@@ -308,6 +440,8 @@ class KPCNN(nn.Module):
                     )(p_n, m_n, p_l, m_l))
                     pts.append((p_n, m_n))
                 r *= 2
+            conv_edges = [None] * n_levels
+            pool_edges = [None] * (n_levels - 1)
 
         # ---- blocks (channel plan mirrors architectures.py:91-125) ----
         x = batch.x.astype(jnp.float32)
@@ -321,26 +455,46 @@ class KPCNN(nn.Module):
                                          self.fixed_kernel_points,
                                          seed=self.kernel_seed + l)
             p_l, m_l = pts[l]
+            # rigid influence weights are pure geometry — compute once per
+            # (level, conv/pool geometry) and share across every rigid
+            # KPConv at this level (deformable layers recompute with their
+            # per-query offsets)
+            _w_cache: dict = {}
+
+            def _shared_w(q, s, n, key, _c=_w_cache, _kp=kp_disp, _e=extent):
+                if key not in _c:
+                    _c[key] = jax.lax.stop_gradient(
+                        kp_influence_weights_batched(
+                            q, s, n, jnp.asarray(_kp), _e,
+                            self.kp_influence, self.aggregation_mode))
+                return _c[key]
+
             for block in layer_blocks:
                 strided = "pool" in block or "strided" in block
                 if strided:
                     q_pts, q_mask = pts[l + 1]
                     nbr = pool_nbrs[l]
+                    edge_t = pool_edges[l]
                 else:
                     q_pts, q_mask = p_l, m_l
                     nbr = conv_nbrs[l]
+                    edge_t = conv_edges[l]
                 common = dict(act_name=self.activation,
                               use_bn=self.use_batch_norm,
                               bn_momentum=self.batch_norm_momentum,
                               bn_axis_name=self.bn_axis_name)
                 deform = "deformable" in block
+                w_geo = None if deform else _shared_w(
+                    q_pts, p_l, nbr, "pool" if strided else "conv")
                 if block.startswith("simple"):
                     width = out_dim // 2
                     x = KPConvOp(width, kp_disp, extent, self.kp_influence,
                                  self.aggregation_mode, deform,
                                  self.modulated, self.deform_fitting_power,
                                  self.repulse_extent,
-                                 name=f"block{bi}_kpconv")(p_l, p_l, nbr, x)
+                                 name=f"block{bi}_kpconv")(
+                                     p_l, p_l, nbr, x, all_w=w_geo,
+                                     edge_t=edge_t)
                     x = BatchNormBlock(width, self.use_batch_norm,
                                        self.batch_norm_momentum,
                                        self.bn_axis_name,
@@ -350,7 +504,8 @@ class KPCNN(nn.Module):
                 elif block.startswith("resnetb"):
                     x = self._resnet_block(
                         bi, x, in_dim, out_dim, p_l, q_pts, nbr, m_l, q_mask,
-                        kp_disp, extent, strided, train, common, deform)
+                        kp_disp, extent, strided, train, common, deform,
+                        all_w=w_geo, edge_t=edge_t)
                     in_dim = out_dim
                 elif block == "unary":
                     x = UnaryBlock(out_dim, no_relu=False, **common,
@@ -380,7 +535,7 @@ class KPCNN(nn.Module):
 
     def _resnet_block(self, bi, x, in_dim, out_dim, p_l, q_pts, nbr, in_mask,
                       q_mask, kp_disp, extent, strided, train, common,
-                      deform: bool = False):
+                      deform: bool = False, all_w=None, edge_t=None):
         """ResnetBottleneckBlock (blocks.py:594-680)."""
         quarter = out_dim // 4
         h = x
@@ -390,7 +545,8 @@ class KPCNN(nn.Module):
         h = KPConvOp(quarter, kp_disp, extent, self.kp_influence,
                      self.aggregation_mode, deform, self.modulated,
                      self.deform_fitting_power, self.repulse_extent,
-                     name=f"block{bi}_kpconv")(q_pts, p_l, nbr, h)
+                     name=f"block{bi}_kpconv")(q_pts, p_l, nbr, h,
+                                               all_w=all_w, edge_t=edge_t)
         h = BatchNormBlock(quarter, self.use_batch_norm,
                            self.batch_norm_momentum, self.bn_axis_name,
                            name=f"block{bi}_normconv")(h, q_mask, train)
@@ -398,7 +554,7 @@ class KPCNN(nn.Module):
         h = UnaryBlock(out_dim, no_relu=True, **common,
                        name=f"block{bi}_unary2")(h, q_mask, train)
         if strided:
-            shortcut = jax.vmap(max_pool_zero_shadow)(x, nbr)
+            shortcut = max_pool_zero_shadow_batched(x, nbr)
         else:
             shortcut = x
         if in_dim != out_dim:

@@ -202,6 +202,19 @@ def kpconv_pyramid_plan(first_subsampling_dl: float, conv_radius: float,
             "deform_scale": float(deform_scale)}
 
 
+def _edge_transpose(nbr: np.ndarray, ns: int):
+    """Edge-sort permutation + segment offsets enabling a scatter-free
+    gather transpose on TPU (models/kpconv.neighbor_gather): perm sorts the
+    flattened edge list by support row; off[j] = first sorted-edge position
+    referencing support j (len ns+2; the last segment holds shadow edges).
+    Pure geometry — precomputed here so the device backward is gather +
+    cumsum + diff instead of a scatter-add."""
+    flat = nbr.reshape(-1)
+    perm = np.argsort(flat, kind="stable").astype(np.int32)
+    off = np.searchsorted(flat[perm], np.arange(ns + 2)).astype(np.int32)
+    return perm, off
+
+
 def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
                         plan: dict) -> Dict[str, np.ndarray]:
     """Per-sample KPConv pyramid on the native C++ ops: per-level points
@@ -235,6 +248,14 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
         nbr[~m] = cap
         nbr[nbr >= n] = cap  # shadow index = padded support count
         out[f"kp_conv{l}"] = nbr
+        if plan.get("edge_transpose", False):
+            # scatter-free-backward aux: OFF by default — measured SLOWER
+            # than XLA's scatter-add on TPU v5e (dx 212 vs 129 ms at
+            # bs8/16384/K40: the cotangent re-sort gather + layout copies
+            # outweigh the removed scatter). Kept for re-evaluation on
+            # other topologies.
+            out[f"kp_cperm{l}"], out[f"kp_coff{l}"] = \
+                _edge_transpose(nbr, cap)
         if l < n_levels - 1:
             dl_next = 2 * r / plan["conv_radius"]
             sub, _ = native.grid_subsample(pts, dl_next)
@@ -248,6 +269,9 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
             pool[~qm] = cap
             pool[pool >= n] = cap
             out[f"kp_pool{l}"] = pool
+            if plan.get("edge_transpose", False):
+                out[f"kp_pperm{l}"], out[f"kp_poff{l}"] = \
+                    _edge_transpose(pool, cap)
             pts = sub
             padded, m = q_pad, qm
         r *= 2

@@ -275,7 +275,16 @@ class Trainer:
         for split in ("train", "val", "test"):
             loader = self.loaders.get(split)
             if loader is not None:
-                return next(iter(loader.epoch(0)))
+                batch = next(iter(loader.epoch(0)), None)
+                if batch is None:
+                    raise RuntimeError(
+                        f"The '{split}' split yields zero batches: "
+                        f"{len(loader.dataset)} sample(s) with "
+                        f"batch_size={loader.batch_size}"
+                        + (" and drop_last" if loader.drop_last else "")
+                        + ". Lower training.batch_size or provide more "
+                        "data (e.g. data.synthetic_plots).")
+                return batch
         raise RuntimeError("No data available in any split")
 
     def _maybe_restore_weights(self) -> None:

@@ -243,3 +243,67 @@ class TestDeformableKPConv:
                             mutable=["losses"])
         assert out.shape == (1, 16, 8)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestBatchedFastPath:
+    """The flat-gather batched rigid path must match the per-sample
+    reference-oracle functions exactly."""
+
+    def test_batched_matches_per_sample(self, rng):
+        import jax
+        from dpcr_agb_tpu.models.kpconv import (
+            kp_influence_weights, kp_influence_weights_batched,
+            kpconv_apply, kpconv_apply_batched, max_pool_zero_shadow,
+            max_pool_zero_shadow_batched)
+        bs, nq, ns, K, Kp, cin, cout = 3, 64, 80, 9, 7, 5, 6
+        q = jnp.asarray(rng.uniform(0, 1, (bs, nq, 3)), jnp.float32)
+        s = jnp.asarray(rng.uniform(0, 1, (bs, ns, 3)), jnp.float32)
+        # include shadow indices (ns = shadow row)
+        nbr = jnp.asarray(rng.integers(0, ns + 1, (bs, nq, K)), jnp.int32)
+        x = jnp.asarray(rng.normal(size=(bs, ns, cin)), jnp.float32)
+        kp = jnp.asarray(rng.uniform(-1, 1, (Kp, 3)) * 0.1, jnp.float32)
+        w = jnp.asarray(rng.normal(size=(Kp, cin, cout)) * 0.2, jnp.float32)
+        ext = 0.15
+        for agg in ("sum", "closest"):
+            all_w_b = kp_influence_weights_batched(q, s, nbr, kp, ext,
+                                                   "linear", agg)
+            all_w_ref = jax.vmap(lambda qq, ss, nn: kp_influence_weights(
+                qq, ss, nn, kp, ext, "linear", agg)[0])(q, s, nbr)
+            np.testing.assert_allclose(np.asarray(all_w_b),
+                                       np.asarray(all_w_ref),
+                                       rtol=1e-6, atol=1e-6)
+            out_b = kpconv_apply_batched(nbr, x, w, all_w_b)
+            out_ref = jax.vmap(lambda qq, ss, nn, xx: kpconv_apply(
+                qq, ss, nn, xx, kp, w, ext, "linear", agg))(q, s, nbr, x)
+            np.testing.assert_allclose(np.asarray(out_b),
+                                       np.asarray(out_ref),
+                                       rtol=1e-5, atol=1e-5)
+        pool_b = max_pool_zero_shadow_batched(x, nbr)
+        pool_ref = jax.vmap(max_pool_zero_shadow)(x, nbr)
+        np.testing.assert_allclose(np.asarray(pool_b), np.asarray(pool_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_neighbor_gather_grad_matches_autodiff(self, rng):
+        """Scatter-free backward (host edge transpose) == autodiff scatter."""
+        import jax
+        from dpcr_agb_tpu.models.kpconv import _batched_rows, neighbor_gather
+        from dpcr_agb_tpu.ops.host_pyramid import _edge_transpose
+        bs, n, nq, K, C = 3, 33, 21, 7, 5
+        x_pad = jnp.asarray(rng.normal(size=(bs, n, C)), jnp.float32)
+        nbr_np = rng.integers(0, n, (bs, nq, K)).astype(np.int32)
+        perm = np.stack([_edge_transpose(nbr_np[b], n - 1)[0]
+                         for b in range(bs)])
+        off = np.stack([_edge_transpose(nbr_np[b], n - 1)[1]
+                        for b in range(bs)])
+        nbr = jnp.asarray(nbr_np)
+        ct = jnp.asarray(rng.normal(size=(bs, nq, K, C)), jnp.float32)
+        g_ref = jax.grad(lambda x: jnp.sum(_batched_rows(x, nbr) * ct))(x_pad)
+        g = jax.grad(lambda x: jnp.sum(neighbor_gather(
+            x, nbr, jnp.asarray(perm), jnp.asarray(off)) * ct))(x_pad)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)
+        # forwards agree too
+        np.testing.assert_allclose(
+            np.asarray(neighbor_gather(x_pad, nbr, jnp.asarray(perm),
+                                       jnp.asarray(off))),
+            np.asarray(_batched_rows(x_pad, nbr)))
