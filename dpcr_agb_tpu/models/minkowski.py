@@ -94,7 +94,10 @@ class SparseConv(nn.Module):
             y = conv(x.astype(self.dtype), nbr_idx)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            # bias param is f32; add in y's compute dtype — promoting the
+            # whole activation volume to f32 here doubled the dense path's
+            # pool-backward memory and capped the batch size at 16
+            y = y + bias.astype(y.dtype)
             if dense_occ is not None:
                 y = y * dense_occ  # bias only at occupied sites
         return y

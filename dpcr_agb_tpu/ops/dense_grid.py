@@ -177,9 +177,12 @@ def _dense_conv_dfold(x: jnp.ndarray, occ_out: jnp.ndarray,
 
 def occupancy_pool(occ: jnp.ndarray) -> jnp.ndarray:
     """Next-level occupancy: cell occupied iff any of its 2^3 children is
-    (= unique(floor(coords/2))). Non-differentiable by construction."""
+    (= unique(floor(coords/2))). Non-differentiable by construction.
+    init must match occ.dtype: a python-float -inf silently promotes the
+    whole window reduction (and its backward volume) to f32."""
     pooled = jax.lax.reduce_window(
-        occ, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "SAME")
+        occ, occ.dtype.type(-np.inf), jax.lax.max,
+        (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "SAME")
     return jax.lax.stop_gradient(jnp.maximum(pooled, 0.0))
 
 
@@ -187,12 +190,17 @@ def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
                    occ_out: jnp.ndarray) -> jnp.ndarray:
     """Minkowski MaxPool(kernel 3, stride 2): max over the 3^3 input window
     around 2u, empty inputs excluded (-inf), output only at occupied sites.
-    NOTE: init must be -inf for JAX's reduce_window_max gradient rule to
-    apply (any other init falls back to the non-differentiable generic
-    reduce_window primitive)."""
+    NOTE: init must be the VALUE -inf for JAX's reduce_window_max gradient
+    rule to apply (any other value falls back to the non-differentiable
+    generic reduce_window primitive), must be a STATIC scalar (a traced
+    jnp array also breaks the rule), and must be IN x's dtype — a
+    python-float -inf promotes the pool and its select_and_scatter backward
+    volume (the program's largest tensor) to f32, which is what capped the
+    batch size at 16."""
     filled = jnp.where(occ_in > 0, x, jnp.asarray(NEG_INF, x.dtype))
     y = jax.lax.reduce_window(
-        filled, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+        filled, x.dtype.type(-np.inf), jax.lax.max,
+        (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
     return jnp.where(occ_out > 0, y, 0.0)
 
