@@ -35,10 +35,11 @@ NEG_INF = -1e30
 # 350->78 ms at bs16 [88,88,80] bf16), but IN-MODEL it is a net loss:
 # fold-in-forward poisons global layout assignment (batch lands on the lane
 # dim -> 8x-padded whole-volume tensors -> OOM), and fold-in-backward-only
-# via custom_vjp measured 40.8 vs 46.3 plots/s (cotangent layout copies at
-# the custom_vjp boundary; XLA already fuses the in-model stem backward far
-# better than the standalone microbench suggested). Kept off; the code and
-# its parity tests stay as the starting point for a Pallas stem kernel.
+# via custom_vjp measured 40.8 vs 46.3 plots/s (and re-measured 47.8 vs
+# 56.4 after the all-bf16 fixes; cotangent layout copies at the custom_vjp
+# boundary; XLA already fuses the in-model stem backward far better than
+# the standalone microbench suggested). Kept off; the code and its parity
+# tests stay as the starting point for a Pallas stem kernel.
 USE_DFOLD_TINY_CIN = False
 
 
