@@ -184,3 +184,45 @@ class TestMPointNet:
             params, stats, opt, loss = step(params, stats, opt)
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.3, losses[::10]
+
+
+def test_dense_path_stays_bf16_end_to_end(rng):
+    """Regression guard for the silent f32 promotions that halved the
+    usable batch size (python-float reduce_window init; f32 bias adds):
+    with bf16 enabled, the dense forward's big intermediates must be bf16.
+    Checked via the traced jaxpr of the full apply."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dpcr_agb_tpu.models.minkowski import build_resnet
+    from dpcr_agb_tpu.data.batch import Batch
+
+    class _DS:
+        num_reg_classes = 2
+
+    net = build_resnet("SENet14", {
+        "activation": "gelu", "first_stride": 1, "global_pool": "sum",
+        "extra_options": {"bf16": True, "dense_dims": [16, 16, 16]},
+    }, _DS())
+    v = 64
+    coords = rng.integers(0, 16, (1, v, 3)).astype(np.int32)
+    batch = Batch(pos=jnp.zeros((1, v, 3)), x=jnp.ones((1, v, 3)),
+                  mask=jnp.ones((1, v), bool),
+                  coords=jnp.asarray(coords),
+                  y_reg=jnp.zeros((1, 2)), y_reg_mask=jnp.ones((1, 2), bool),
+                  area_idx=jnp.zeros(1, jnp.int32),
+                  label_idx=jnp.zeros(1, jnp.int64),
+                  is_double=jnp.zeros(1, bool))
+    variables = net.init(jax.random.PRNGKey(0), batch, train=False)
+    jaxpr = jax.make_jaxpr(
+        lambda vs, b: net.apply(vs, b, train=False))(variables, batch)
+    # every 5D volume tensor flowing through the dense path must be bf16 —
+    # an f32 one means a promotion crept back in
+    f32_volumes = [
+        v_.aval for eqn in jaxpr.eqns for v_ in eqn.outvars
+        if hasattr(v_, "aval") and getattr(v_.aval, "ndim", 0) == 5
+        and v_.aval.dtype == jnp.float32
+        and v_.aval.shape[-1] >= 8       # ignore occupancy/indicator volumes
+        and np.prod(v_.aval.shape[1:4]) > 8  # ignore the tiny f32 head cast
+    ]
+    assert not f32_volumes, f32_volumes[:5]
