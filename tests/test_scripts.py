@@ -101,3 +101,25 @@ def test_experiment_manager_roundtrip(tmp_path):
     assert ef.best_epoch("val_total_T_rmse", "min") == (2, 3.0)
     s = ef.summary()
     assert s["best_val_total_T_rmse"]["epoch"] == 2
+
+
+class TestRunTrials:
+    def test_derive_eval_transform(self):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        import run_trials
+        assert run_trials.derive_eval_transform("sparse_xy") == \
+            "sparse_xy_eval"
+        assert run_trials.derive_eval_transform("xy_eval") == "xy_eval"
+        assert run_trials.derive_eval_transform(None) is None
+
+    def test_override_helpers(self):
+        import run_trials
+        ov = ["model_name=KPConv", "data.transform_type=xy", "training=x"]
+        assert run_trials._get_override(ov, "model_name") == "KPConv"
+        assert run_trials._get_override(ov, "missing", "d") == "d"
+        assert run_trials._without(ov, "training") == ov[:2]
+
+    def test_requires_overrides(self, capsys):
+        import run_trials
+        with pytest.raises(SystemExit):
+            run_trials.main(["--trials", "1", "--out", "/tmp/x"])
