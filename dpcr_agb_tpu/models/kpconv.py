@@ -20,8 +20,11 @@ Semantics preserved (file:line refs into the reference):
     (blocks.py:460-496) — BN here is masked over valid points
   * KPConv weights kaiming_uniform(a=sqrt(5)) (blocks.py:244-247)
 
-Documented divergences: random grid orientation (common.py:39-144) is off by
-default (deterministic eval; enable via config `random_grid_orient`).
+Documented divergences: the reference's random grid orientation
+(common.py:39-144 — rotate the cloud before voxelization, rotate back) is
+not a separate knob here; the training presets' transform-level random
+rotations (`RandomRotate` in the xy/sparse_xy pipelines) provide the same
+augmentation before the pyramid is built, and eval stays deterministic.
 
 TPU fast path (rigid kernels): batched flat-row gathers (_batched_rows),
 per-level shared influence weights, and an optional host edge transpose for
