@@ -46,6 +46,7 @@ from ..nn.norm import MaskedBatchNorm
 from ..ops.kernel_points import load_kernel_points
 from ..ops.masked import masked_mean, masked_sum
 from ..ops.neighbors import grid_subsample, radius_neighbors
+from ..ops.pallas_kpconv import kpconv_fused
 
 DEFAULT_POINT_FRACS = (1.0, 0.7, 0.35, 0.18, 0.1, 0.06)
 SHADOW_POS = 1e6
@@ -248,15 +249,27 @@ class KPConvOp(nn.Module):
     repulse_extent: float = 1.2
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, nbr, x, all_w=None, edge_t=None):
+    def __call__(self, q_pts, s_pts, nbr, x, all_w=None, edge_t=None,
+                 rel=None):
         """Batched: q_pts [B,Nq,3], s_pts [B,Ns,3], nbr [B,Nq,K], x [B,Ns,C];
         all_w [B,Nq,K,Kp] = shared precomputed influence weights (rigid);
-        edge_t = (perm, off) host edge transpose for scatter-free backward."""
+        edge_t = (perm, off) host edge transpose for scatter-free backward;
+        rel [B,Nq,K,3] = shared gathered relative neighbor positions — when
+        given (rigid path), the fused Pallas kernel computes influences
+        in-VMEM and never materializes all_w/weighted in HBM."""
         kp = jnp.asarray(self.kernel_points)
         n_kp = kp.shape[0]
         weights = self.param("weights", _kp_weight_init,
                              (n_kp, x.shape[-1], self.out_channels))
         if not self.deformable:
+            if rel is not None:
+                b, ns, c = x.shape
+                x_pad = jnp.concatenate(
+                    [x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
+                nx = _batched_rows(x_pad, nbr)
+                return kpconv_fused(
+                    rel, nx, weights, np.asarray(self.kernel_points),
+                    self.extent, self.influence, self.aggregation)
             if all_w is None:
                 all_w = kp_influence_weights_batched(
                     q_pts, s_pts, nbr, kp, self.extent, self.influence,
@@ -361,6 +374,10 @@ class KPCNN(nn.Module):
     point_fracs: Optional[Sequence[float]] = None
     neighborhood_limits: Optional[Sequence[int]] = None
     kernel_seed: int = 42
+    # fused Pallas KPConv kernel for rigid layers: None = auto (TPU only;
+    # other backends fall back to the XLA formulation — interpret-mode
+    # Pallas would dominate test runtimes)
+    fused_kernel: Optional[bool] = None
     bn_axis_name: Any = None
     deform_radius: float = 5.0
     modulated: bool = False
@@ -458,10 +475,13 @@ class KPCNN(nn.Module):
                                          self.fixed_kernel_points,
                                          seed=self.kernel_seed + l)
             p_l, m_l = pts[l]
-            # rigid influence weights are pure geometry — compute once per
-            # (level, conv/pool geometry) and share across every rigid
+            # rigid influence geometry is feature-independent — compute once
+            # per (level, conv/pool geometry) and share across every rigid
             # KPConv at this level (deformable layers recompute with their
-            # per-query offsets)
+            # per-query offsets). Fused path shares the gathered relative
+            # positions [B,Nq,K,3]; XLA path shares all_w [B,Nq,K,Kp].
+            use_fused = (self.fused_kernel if self.fused_kernel is not None
+                         else jax.default_backend() == "tpu")
             _w_cache: dict = {}
 
             def _shared_w(q, s, n, key, _c=_w_cache, _kp=kp_disp, _e=extent):
@@ -470,6 +490,17 @@ class KPCNN(nn.Module):
                         kp_influence_weights_batched(
                             q, s, n, jnp.asarray(_kp), _e,
                             self.kp_influence, self.aggregation_mode))
+                return _c[key]
+
+            _rel_cache: dict = {}
+
+            def _shared_rel(q, s, n, key, _c=_rel_cache):
+                if key not in _c:
+                    b = s.shape[0]
+                    s_pad = jnp.concatenate(
+                        [s, jnp.full((b, 1, 3), SHADOW_POS, s.dtype)], axis=1)
+                    _c[key] = jax.lax.stop_gradient(
+                        _batched_rows(s_pad, n) - q[:, :, None, :])
                 return _c[key]
 
             for block in layer_blocks:
@@ -487,8 +518,11 @@ class KPCNN(nn.Module):
                               bn_momentum=self.batch_norm_momentum,
                               bn_axis_name=self.bn_axis_name)
                 deform = "deformable" in block
-                w_geo = None if deform else _shared_w(
-                    q_pts, p_l, nbr, "pool" if strided else "conv")
+                geo_key = "pool" if strided else "conv"
+                rel_geo = None if (deform or not use_fused) else _shared_rel(
+                    q_pts, p_l, nbr, geo_key)
+                w_geo = None if (deform or use_fused) else _shared_w(
+                    q_pts, p_l, nbr, geo_key)
                 if block.startswith("simple"):
                     width = out_dim // 2
                     x = KPConvOp(width, kp_disp, extent, self.kp_influence,
@@ -497,7 +531,7 @@ class KPCNN(nn.Module):
                                  self.repulse_extent,
                                  name=f"block{bi}_kpconv")(
                                      p_l, p_l, nbr, x, all_w=w_geo,
-                                     edge_t=edge_t)
+                                     edge_t=edge_t, rel=rel_geo)
                     x = BatchNormBlock(width, self.use_batch_norm,
                                        self.batch_norm_momentum,
                                        self.bn_axis_name,
@@ -508,7 +542,7 @@ class KPCNN(nn.Module):
                     x = self._resnet_block(
                         bi, x, in_dim, out_dim, p_l, q_pts, nbr, m_l, q_mask,
                         kp_disp, extent, strided, train, common, deform,
-                        all_w=w_geo, edge_t=edge_t)
+                        all_w=w_geo, edge_t=edge_t, rel=rel_geo)
                     in_dim = out_dim
                 elif block == "unary":
                     x = UnaryBlock(out_dim, no_relu=False, **common,
@@ -538,7 +572,8 @@ class KPCNN(nn.Module):
 
     def _resnet_block(self, bi, x, in_dim, out_dim, p_l, q_pts, nbr, in_mask,
                       q_mask, kp_disp, extent, strided, train, common,
-                      deform: bool = False, all_w=None, edge_t=None):
+                      deform: bool = False, all_w=None, edge_t=None,
+                      rel=None):
         """ResnetBottleneckBlock (blocks.py:594-680)."""
         quarter = out_dim // 4
         h = x
@@ -549,7 +584,8 @@ class KPCNN(nn.Module):
                      self.aggregation_mode, deform, self.modulated,
                      self.deform_fitting_power, self.repulse_extent,
                      name=f"block{bi}_kpconv")(q_pts, p_l, nbr, h,
-                                               all_w=all_w, edge_t=edge_t)
+                                               all_w=all_w, edge_t=edge_t,
+                                               rel=rel)
         h = BatchNormBlock(quarter, self.use_batch_norm,
                            self.batch_norm_momentum, self.bn_axis_name,
                            name=f"block{bi}_normconv")(h, q_mask, train)
@@ -592,6 +628,7 @@ def build_kpconv(option, dataset, bn_axis_name=None):
         batch_norm_momentum=float(get("batch_norm_momentum", 0.02)),
         point_fracs=extra.get("point_fracs"),
         neighborhood_limits=extra.get("neighborhood_limits"),
+        fused_kernel=extra.get("fused_kernel"),
         bn_axis_name=bn_axis_name,
         deform_radius=float(get("deform_radius", 5.0)),
         modulated=bool(get("modulated", False)),
