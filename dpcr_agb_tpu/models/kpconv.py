@@ -54,8 +54,10 @@ SHADOW_POS = 1e6
 
 def _batched_rows(x_pad, nbr):
     """x_pad [B,N,C], nbr [B,Nq,K] -> [B,Nq,K,C] as ONE 2D row gather over
-    the batch-flattened table (measured 1.7x faster on TPU than the vmapped
-    per-sample 3D gather: 40 vs 68 ms at bs8/16384/K40)."""
+    the batch-flattened table (faster on TPU than the vmapped per-sample 3D
+    gather; honest chained timing on v5e: 9.5 ms for the 1.3 GB level-0
+    gather at bs8/16384/K40/C64 — and bf16 rows are SLOWER, 12 ms: the
+    gather is row-count-bound, not byte-bound)."""
     b, n, c = x_pad.shape
     idx = nbr + (jnp.arange(b, dtype=nbr.dtype) * n)[:, None, None]
     return x_pad.reshape(b * n, c)[idx.reshape(-1)].reshape(*nbr.shape, c)
@@ -247,6 +249,9 @@ class KPConvOp(nn.Module):
     modulated: bool = False
     deform_fitting_power: float = 1.0
     repulse_extent: float = 1.2
+    # compute dtype for the fused kernel (bf16 under enable_mixed — the
+    # reference trains KPConv under AMP fp16, conf/training/nfi/kpconv.yaml)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q_pts, s_pts, nbr, x, all_w=None, edge_t=None,
@@ -265,11 +270,13 @@ class KPConvOp(nn.Module):
             if rel is not None:
                 b, ns, c = x.shape
                 x_pad = jnp.concatenate(
-                    [x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
+                    [x.astype(self.dtype),
+                     jnp.zeros((b, 1, c), self.dtype)], axis=1)
                 nx = _batched_rows(x_pad, nbr)
                 return kpconv_fused(
                     rel, nx, weights, np.asarray(self.kernel_points),
-                    self.extent, self.influence, self.aggregation)
+                    self.extent, self.influence, self.aggregation,
+                    compute_dtype=self.dtype)
             if all_w is None:
                 all_w = kp_influence_weights_batched(
                     q_pts, s_pts, nbr, kp, self.extent, self.influence,
@@ -374,10 +381,12 @@ class KPCNN(nn.Module):
     point_fracs: Optional[Sequence[float]] = None
     neighborhood_limits: Optional[Sequence[int]] = None
     kernel_seed: int = 42
-    # fused Pallas KPConv kernel for rigid layers: None = auto (TPU only;
-    # other backends fall back to the XLA formulation — interpret-mode
-    # Pallas would dominate test runtimes)
+    # fused Pallas KPConv kernel for rigid layers (opt-in; measured SLOWER
+    # than the XLA formulation on v5e — see __call__)
     fused_kernel: Optional[bool] = None
+    # bf16 compute in the fused KPConv kernels under enable_mixed (the
+    # trainer flips this via dataclasses.replace when the net has `dtype`)
+    dtype: Any = jnp.float32
     bn_axis_name: Any = None
     deform_radius: float = 5.0
     modulated: bool = False
@@ -480,8 +489,15 @@ class KPCNN(nn.Module):
             # KPConv at this level (deformable layers recompute with their
             # per-query offsets). Fused path shares the gathered relative
             # positions [B,Nq,K,3]; XLA path shares all_w [B,Nq,K,Kp].
-            use_fused = (self.fused_kernel if self.fused_kernel is not None
-                         else jax.default_backend() == "tpu")
+            # default OFF: honest v5e measurements (memoization-safe
+            # chained timing, value+grad with random cotangent, level-0
+            # bs8/16384/K40/Kp15/C64) put the XLA formulation at 17 ms fwd /
+            # 104 ms fwd+bwd vs the fused Pallas kernel's 30 ms (bf16) fwd /
+            # 181 ms fwd+bwd — the per-edge influence*feature product is
+            # VPU-bound in Mosaic while XLA maps the same contraction onto
+            # the MXU. Kept as an opt-in (extra_options.fused_kernel) for
+            # future Mosaic improvements; see ops/pallas_kpconv.py.
+            use_fused = bool(self.fused_kernel)
             _w_cache: dict = {}
 
             def _shared_w(q, s, n, key, _c=_w_cache, _kp=kp_disp, _e=extent):
@@ -528,7 +544,7 @@ class KPCNN(nn.Module):
                     x = KPConvOp(width, kp_disp, extent, self.kp_influence,
                                  self.aggregation_mode, deform,
                                  self.modulated, self.deform_fitting_power,
-                                 self.repulse_extent,
+                                 self.repulse_extent, dtype=self.dtype,
                                  name=f"block{bi}_kpconv")(
                                      p_l, p_l, nbr, x, all_w=w_geo,
                                      edge_t=edge_t, rel=rel_geo)
@@ -583,6 +599,7 @@ class KPCNN(nn.Module):
         h = KPConvOp(quarter, kp_disp, extent, self.kp_influence,
                      self.aggregation_mode, deform, self.modulated,
                      self.deform_fitting_power, self.repulse_extent,
+                     dtype=self.dtype,
                      name=f"block{bi}_kpconv")(q_pts, p_l, nbr, h,
                                                all_w=all_w, edge_t=edge_t,
                                                rel=rel)

@@ -15,6 +15,17 @@ and the output [M, Cout] (written once). The neighbor gather itself stays in
 XLA (Mosaic has no arbitrary-row dynamic gather; measured crash at >8
 sublanes) — callers gather `rel`/`nx` with one flat row gather.
 
+MEASURED OUTCOME (v5e, honest chained timing at level-0 shapes
+bs8/16384/K40/Kp15/C64): kernel-only fwd 46 ms f32 (T=64/128) / 29.6 ms
+bf16 (T=256); value+grad 181 ms — vs the XLA einsum formulation's 17 ms
+fwd / 104 ms value+grad. The per-edge influence*feature product
+(B*N*K*Kp*C madds) lands on the VPU here, while XLA maps the same
+contraction onto the MXU as batched matmuls; the early 70/270 ms "XLA
+baseline" that motivated this kernel came from a memoization-broken
+harness (the axon transport caches executions on identical buffers).
+Kept as an OPT-IN (models/kpconv.KPCNN.fused_kernel) with full parity
+tests, for re-evaluation on future Mosaic/hardware generations.
+
 Semantics == kpconv_apply_batched with stop_gradient'd influences (the rigid
 path): gradients flow to features and weights only, matching the shared
 per-level `all_w` design in models/kpconv.KPCNN.
@@ -39,7 +50,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom out of ~16 MB
+VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom out of ~16 MB
 
 
 def _influence(d2, extent: float, influence: str):
@@ -53,91 +64,106 @@ def _influence(d2, extent: float, influence: str):
     raise ValueError(f"Unknown KP_influence: {influence}")
 
 
-def _weights_tile(rx, ry, rz, kp: np.ndarray, extent: float, influence: str,
-                  aggregation: str):
-    """[T,K] xyz planes -> list of Kp weight tiles [T,K] (f32)."""
-    n_kp = kp.shape[0]
-    d2s = []
-    for p in range(n_kp):
-        dx = rx - kp[p, 0]
-        dy = ry - kp[p, 1]
-        dz = rz - kp[p, 2]
-        d2s.append(dx * dx + dy * dy + dz * dz)
-    ws = [_influence(d2, extent, influence) for d2 in d2s]
+def _d2_all(rx, ry, rz, kp_ref, p):
+    kpx = kp_ref[p, 0]
+    kpy = kp_ref[p, 1]
+    kpz = kp_ref[p, 2]
+    dx = rx - kpx
+    dy = ry - kpy
+    dz = rz - kpz
+    return dx * dx + dy * dy + dz * dz
+
+
+def _min_d2(rx, ry, rz, kp_ref, n_kp):
+    def body(p, m):
+        return jnp.minimum(m, _d2_all(rx, ry, rz, kp_ref, p))
+    return jax.lax.fori_loop(1, n_kp, body,
+                             _d2_all(rx, ry, rz, kp_ref, 0))
+
+
+def _w_tile(rx, ry, rz, kp_ref, p, min_d2, extent, influence, aggregation):
+    d2 = _d2_all(rx, ry, rz, kp_ref, p)
+    w = _influence(d2, extent, influence)
     if aggregation == "closest":
-        # keep only the closest kernel point's weight per neighbor
-        min_d2 = d2s[0]
-        for d2 in d2s[1:]:
-            min_d2 = jnp.minimum(min_d2, d2)
-        ws = [jnp.where(d2 <= min_d2, w, 0.0) for w, d2 in zip(ws, d2s)]
-    elif aggregation != "sum":
-        raise ValueError(f"Unknown aggregation_mode: {aggregation}")
-    return ws
+        w = jnp.where(d2 <= min_d2, w, 0.0)
+    return w
 
 
-def _fwd_kernel(rx_ref, ry_ref, rz_ref, nx_ref, wf_ref, out_ref, *,
-                kp, extent, influence, aggregation, compute_dtype):
+def _fwd_kernel(rx_ref, ry_ref, rz_ref, nx_ref, wf_ref, kp_ref, out_ref, *,
+                n_kp, extent, influence, aggregation, compute_dtype):
     rx, ry, rz = rx_ref[...], ry_ref[...], rz_ref[...]
     nx = nx_ref[...]
-    ws = _weights_tile(rx, ry, rz, kp, extent, influence, aggregation)
-    parts = []
-    for w in ws:
-        wp = w[:, :, None].astype(nx.dtype)          # [T,K,1]
-        parts.append(jnp.sum(wp * nx, axis=1))       # [T,C]
-    acc = jnp.concatenate(parts, axis=-1)            # [T,Kp*C]
-    out_ref[...] = jnp.dot(acc.astype(compute_dtype),
-                           wf_ref[...].astype(compute_dtype),
-                           preferred_element_type=jnp.float32)
+    min_d2 = (_min_d2(rx, ry, rz, kp_ref, n_kp)
+              if aggregation == "closest" else None)
+
+    def body(p, out):
+        w = _w_tile(rx, ry, rz, kp_ref, p, min_d2, extent, influence,
+                    aggregation)
+        part = jnp.sum(w[:, :, None].astype(nx.dtype) * nx, axis=1)  # [T,C]
+        return out + jnp.dot(part.astype(compute_dtype),
+                             wf_ref[p].astype(compute_dtype),
+                             preferred_element_type=jnp.float32)
+
+    cout = out_ref.shape[-1]
+    out0 = jnp.zeros((rx.shape[0], cout), jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, n_kp, body, out0)
 
 
-def _bwd_kernel(rx_ref, ry_ref, rz_ref, nx_ref, wf_ref, g_ref,
-                dnx_ref, dwf_ref, *, kp, extent, influence, aggregation,
+def _bwd_kernel(rx_ref, ry_ref, rz_ref, nx_ref, wf_ref, kp_ref, g_ref,
+                dnx_ref, dwf_ref, *, n_kp, extent, influence, aggregation,
                 compute_dtype):
     i = pl.program_id(0)
-
     rx, ry, rz = rx_ref[...], ry_ref[...], rz_ref[...]
     nx = nx_ref[...]
     g = g_ref[...]
-    ws = _weights_tile(rx, ry, rz, kp, extent, influence, aggregation)
-    c = nx.shape[-1]
-
-    # dacc = g @ Wf^T  (contract Cout)
-    dacc = jax.lax.dot_general(
-        g.astype(compute_dtype), wf_ref[...].astype(compute_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [T, Kp*C]
-
-    # dnx = sum_p w_p * dacc_p ; acc recomputed for dW
-    dnx = jnp.zeros_like(nx, dtype=jnp.float32)
-    parts = []
-    for p, w in enumerate(ws):
-        wp = w[:, :, None]                            # [T,K,1]
-        dacc_p = dacc[:, p * c:(p + 1) * c]           # [T,C]
-        dnx = dnx + wp * dacc_p[:, None, :].astype(jnp.float32)
-        parts.append(jnp.sum(wp.astype(nx.dtype) * nx, axis=1))
-    dnx_ref[...] = dnx.astype(dnx_ref.dtype)
-
-    acc = jnp.concatenate(parts, axis=-1)             # [T,Kp*C]
-    dwf = jax.lax.dot_general(
-        acc.astype(compute_dtype), g.astype(compute_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [Kp*C, Cout]
+    min_d2 = (_min_d2(rx, ry, rz, kp_ref, n_kp)
+              if aggregation == "closest" else None)
 
     @pl.when(i == 0)
     def _():
         dwf_ref[...] = jnp.zeros_like(dwf_ref)
-    dwf_ref[...] += dwf
+
+    def body(p, dnx):
+        w = _w_tile(rx, ry, rz, kp_ref, p, min_d2, extent, influence,
+                    aggregation)
+        wp = w[:, :, None]                                     # [T,K,1]
+        dacc_p = jax.lax.dot_general(
+            g.astype(compute_dtype), wf_ref[p].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [T,C]
+        dnx = dnx + wp * dacc_p[:, None, :]
+        part = jnp.sum(wp.astype(nx.dtype) * nx, axis=1)       # [T,C]
+        dwf_ref[p] += jax.lax.dot_general(
+            part.astype(compute_dtype), g.astype(compute_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [C,Cout]
+        return dnx
+
+    dnx0 = jnp.zeros(nx.shape, jnp.float32)
+    dnx_ref[...] = jax.lax.fori_loop(0, n_kp, body, dnx0).astype(
+        dnx_ref.dtype)
 
 
-def _pick_tile(m: int, k: int, c: int, n_kp: int, cout: int) -> int:
+TILE_OVERRIDE = None  # for benchmarking experiments
+
+
+def _pick_tile(m: int, k: int, c: int, n_kp: int, cout: int,
+               bwd: bool) -> int:
     """Largest T (multiple of 8, <=512) fitting the VMEM budget."""
+    if TILE_OVERRIDE is not None:
+        return TILE_OVERRIDE
+    k_pad = -(-k // 128) * 128   # xyz planes are lane-padded
+    c_pad = -(-c // 128) * 128   # nx / product temps are lane-padded
     for t in (512, 256, 128, 64, 32, 16, 8):
-        # double-buffered ins + dnx out (bwd) + acc/dacc + w tiles (lane
-        # padded K->128) + weights + out
-        ins = t * k * 4 * 3 * 2 + t * k * c * 4 * 2 * 2
-        scratch = t * n_kp * c * 4 * 3 + n_kp * t * 128 * 4
-        w = n_kp * c * cout * 4 * 2 + t * cout * 4 * 2
-        if ins + scratch + w <= VMEM_BUDGET:
+        # double-buffered xyz/nx ins, one live [T,K,C] product temp,
+        # weights (both precisions), out/g; bwd adds the dnx f32
+        # accumulator + dnx out block
+        ins = 3 * t * k_pad * 4 * 2 + t * k * c_pad * 4 * 2
+        temps = t * k * c_pad * 4
+        if bwd:
+            temps += t * k * c_pad * 4 * 2 + t * k * c_pad * 4
+        w = n_kp * c * cout * 4 * 3 + t * cout * 4 * 4
+        if ins + temps + w <= VMEM_BUDGET:
             return t
     return 8
 
@@ -157,37 +183,42 @@ def _kpconv_fused_flat(rel, nx, wf, kp_key, extent, influence, aggregation,
     return out
 
 
+def _specs(t, k, c, n_kp, cout):
+    ins = [
+        pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, k, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_kp, c, cout), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_kp, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    return ins
+
+
 def _call_fwd(rel, nx, wf, kp, extent, influence, aggregation, compute_dtype):
     m, k, _ = rel.shape
     c = nx.shape[-1]
     n_kp, cout = kp.shape[0], wf.shape[-1]
-    t = _pick_tile(m, k, c, n_kp, cout)
+    t = _pick_tile(m, k, c, n_kp, cout, bwd=False)
     m_pad = -(-m // t) * t
     rx = _pad_rows(rel[:, :, 0], m_pad)
     ry = _pad_rows(rel[:, :, 1], m_pad)
     rz = _pad_rows(rel[:, :, 2], m_pad)
     nxp = _pad_rows(nx, m_pad)
-    grid = (m_pad // t,)
     kernel = functools.partial(
-        _fwd_kernel, kp=kp, extent=float(extent), influence=influence,
+        _fwd_kernel, n_kp=n_kp, extent=float(extent), influence=influence,
         aggregation=aggregation, compute_dtype=compute_dtype)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, k, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_kp * c, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(m_pad // t,),
+        in_specs=_specs(t, k, c, n_kp, cout),
         out_specs=pl.BlockSpec((t, cout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, cout), jnp.float32),
         interpret=_interpret(),
-    )(rx, ry, rz, nxp, wf)
+    )(rx, ry, rz, nxp, wf, jnp.asarray(kp))
     return out[:m]
 
 
@@ -196,43 +227,35 @@ def _call_bwd(rel, nx, wf, kp, extent, influence, aggregation, compute_dtype,
     m, k, _ = rel.shape
     c = nx.shape[-1]
     n_kp, cout = kp.shape[0], wf.shape[-1]
-    t = _pick_tile(m, k, c, n_kp, cout)
+    t = _pick_tile(m, k, c, n_kp, cout, bwd=True)
     m_pad = -(-m // t) * t
     rx = _pad_rows(rel[:, :, 0], m_pad)
     ry = _pad_rows(rel[:, :, 1], m_pad)
     rz = _pad_rows(rel[:, :, 2], m_pad)
     nxp = _pad_rows(nx, m_pad)
     gp = _pad_rows(g, m_pad)
-    grid = (m_pad // t,)
     kernel = functools.partial(
-        _bwd_kernel, kp=kp, extent=float(extent), influence=influence,
+        _bwd_kernel, n_kp=n_kp, extent=float(extent), influence=influence,
         aggregation=aggregation, compute_dtype=compute_dtype)
     dnx, dwf = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, k, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_kp * c, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+        grid=(m_pad // t,),
+        in_specs=_specs(t, k, c, n_kp, cout) + [
             pl.BlockSpec((t, cout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((t, k, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_kp * c, cout), lambda i: (0, 0),
+            pl.BlockSpec((n_kp, c, cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((m_pad, k, c), nx.dtype),
-            jax.ShapeDtypeStruct((n_kp * c, cout), jnp.float32),
+            jax.ShapeDtypeStruct((n_kp, c, cout), jnp.float32),
         ),
         interpret=_interpret(),
-    )(rx, ry, rz, nxp, wf, gp)
+    )(rx, ry, rz, nxp, wf, jnp.asarray(kp), gp)
     return dnx[:m], dwf
 
 
@@ -288,7 +311,7 @@ def kpconv_fused(rel: jnp.ndarray, nx: jnp.ndarray, weights: jnp.ndarray,
     kp = np.ascontiguousarray(np.asarray(kernel_points, np.float32))
     kp_key = (kp.tobytes(), n_kp)
     _KP_CACHE[kp_key] = kp
-    wf = weights.astype(jnp.float32).reshape(n_kp * c, cout)
+    wf = weights.astype(jnp.float32)
     out = _kpconv_fused_flat(
         rel.reshape(m, k, 3).astype(jnp.float32),
         nx.reshape(m, k, c),
