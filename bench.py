@@ -62,16 +62,18 @@ def main():
         batch = post(batch)
     state = runner.init_state(batch)
 
-    # warmup (compile + 2 steps)
+    # warmup (compile + 2 steps); fetch the loss VALUE — on the axon
+    # transport block_until_ready alone does not reliably wait for device
+    # completion, only a host fetch does
     for _ in range(3):
         state, out = runner.train(state, batch)
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, out = runner.train(state, batch)
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
     dt = time.perf_counter() - t0
 
     plots_per_sec = bs * n_steps / dt

@@ -292,3 +292,36 @@ def make_kpconv_post_collate(plan_fn):
         return dataclasses.replace(batch, aux=aux)
 
     return post_collate
+
+
+def reverse_lists(nbr: np.ndarray, ns: int, kr: int) -> np.ndarray:
+    """Reverse neighbor lists for a scatter-free gather-based backward:
+    rnbr[j] = flat edge ids e = q*K + k with nbr[q, k] == j, padded with
+    sentinel E = Nq*K. Row ns holds shadow edges (discarded upstream).
+
+    kr must be >= the max in-degree (asserted) — gradients are exact, no
+    edge is dropped. Radius graphs keep in-degree near the out-degree cap;
+    callers pick kr from a small bucket ladder to bound recompiles.
+    """
+    nq, k = nbr.shape
+    e = nq * k
+    flat = nbr.reshape(-1)
+    order = np.argsort(flat, kind="stable").astype(np.int64)
+    sorted_sup = flat[order]
+    off = np.searchsorted(sorted_sup, np.arange(ns + 2))
+    counts = np.diff(off)
+    if counts[:-1].max(initial=0) > kr:
+        raise ValueError(
+            f"in-degree {int(counts[:-1].max())} exceeds kr={kr}")
+    rnbr = np.full((ns + 1, kr), e, np.int32)
+    # rank of each sorted edge within its support segment
+    rank = np.arange(e) - off[sorted_sup]
+    keep = rank < kr  # only the shadow row can overflow; drop its tail
+    rnbr[sorted_sup[keep], rank[keep]] = order[keep]
+    return rnbr
+
+
+def max_in_degree(nbr: np.ndarray, ns: int) -> int:
+    flat = nbr.reshape(-1)
+    counts = np.bincount(flat[flat < ns], minlength=ns)
+    return int(counts.max(initial=0))

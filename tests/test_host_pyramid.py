@@ -125,3 +125,31 @@ def test_kpconv_host_pyramid_matches_device(rng):
     out_host = net.apply(variables, b_aux, train=False)
     np.testing.assert_allclose(np.asarray(out_device), np.asarray(out_host),
                                rtol=2e-2, atol=2e-2)
+
+
+class TestReverseLists:
+    def test_reverse_lists_roundtrip(self, rng):
+        from dpcr_agb_tpu.ops.host_pyramid import max_in_degree, reverse_lists
+        nq, k, ns = 50, 6, 40
+        nbr = rng.integers(0, ns + 1, (nq, k)).astype(np.int32)
+        kr = max(8, max_in_degree(nbr, ns))
+        rnbr = reverse_lists(nbr, ns, kr)
+        e = nq * k
+        # every real edge appears exactly once in its support's row
+        seen = {}
+        for j in range(ns):
+            for eid in rnbr[j]:
+                if eid == e:
+                    continue
+                q, kk = divmod(int(eid), k)
+                assert nbr[q, kk] == j
+                assert eid not in seen
+                seen[eid] = j
+        n_real = int((nbr < ns).sum())
+        assert len(seen) == n_real
+
+    def test_in_degree_overflow_raises(self, rng):
+        from dpcr_agb_tpu.ops.host_pyramid import reverse_lists
+        nbr = np.zeros((10, 4), np.int32)  # all edges hit support 0
+        with pytest.raises(ValueError):
+            reverse_lists(nbr, 5, 8)
