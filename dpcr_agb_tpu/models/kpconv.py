@@ -100,6 +100,33 @@ def _neighbor_gather_bwd(res, ct):
 neighbor_gather.defvjp(_neighbor_gather_fwd, _neighbor_gather_bwd)
 
 
+@jax.custom_vjp
+def neighbor_gather_rev(x_pad, nbr, rnbr):
+    """Row gather [B,Ns1,C] by [B,Nq,K] -> [B,Nq,K,C] whose transpose is a
+    GATHER instead of XLA's scatter-add: with exact host-precomputed reverse
+    neighbor lists rnbr [B,Ns1,KR] of flat edge ids (host_pyramid.
+    reverse_lists; sentinel = Nq*K), dx[j] = sum_r ct_flat[rnbr[j,r]].
+    Gradients are exact — reverse lists carry every edge."""
+    return _batched_rows(x_pad, nbr)
+
+
+def _neighbor_gather_rev_fwd(x_pad, nbr, rnbr):
+    return _batched_rows(x_pad, nbr), (nbr, rnbr)
+
+
+def _neighbor_gather_rev_bwd(res, ct):
+    nbr, rnbr = res
+    b, nq, k, c = ct.shape
+    flat = jnp.concatenate(
+        [ct.reshape(b, nq * k, c),
+         jnp.zeros((b, 1, c), ct.dtype)], axis=1)       # [B,E+1,C]
+    rows = _batched_rows(flat, rnbr)                     # [B,Ns1,KR,C]
+    return jnp.sum(rows, axis=2), None, None
+
+
+neighbor_gather_rev.defvjp(_neighbor_gather_rev_fwd, _neighbor_gather_rev_bwd)
+
+
 def kp_influence_weights_batched(q_pts, s_pts, nbr, kernel_pts, extent,
                                  influence: str = "linear",
                                  aggregation: str = "sum"):
@@ -129,13 +156,16 @@ def kp_influence_weights_batched(q_pts, s_pts, nbr, kernel_pts, extent,
     return all_w
 
 
-def kpconv_apply_batched(nbr, x, weights, all_w, edge_t=None):
+def kpconv_apply_batched(nbr, x, weights, all_w, edge_t=None, rev=None):
     """Batched rigid KPConv given precomputed influences: nbr [B,Nq,K],
     x [B,Ns,C], weights [Kp,Cin,Cout], all_w [B,Nq,K,Kp] -> [B,Nq,Cout].
-    edge_t = (perm, off) host edge transpose -> scatter-free backward."""
+    edge_t = (perm, off) host edge transpose -> cumsum backward;
+    rev = reverse neighbor lists [B,Ns+1,KR] -> gather+sum backward."""
     b, ns, c = x.shape
     x_pad = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
-    if edge_t is not None:
+    if rev is not None:
+        neighb_x = neighbor_gather_rev(x_pad, nbr, rev)      # [B,Nq,K,C]
+    elif edge_t is not None:
         neighb_x = neighbor_gather(x_pad, nbr, *edge_t)      # [B,Nq,K,C]
     else:
         neighb_x = _batched_rows(x_pad, nbr)
@@ -255,7 +285,7 @@ class KPConvOp(nn.Module):
 
     @nn.compact
     def __call__(self, q_pts, s_pts, nbr, x, all_w=None, edge_t=None,
-                 rel=None):
+                 rel=None, rev=None):
         """Batched: q_pts [B,Nq,3], s_pts [B,Ns,3], nbr [B,Nq,K], x [B,Ns,C];
         all_w [B,Nq,K,Kp] = shared precomputed influence weights (rigid);
         edge_t = (perm, off) host edge transpose for scatter-free backward;
@@ -281,7 +311,8 @@ class KPConvOp(nn.Module):
                 all_w = kp_influence_weights_batched(
                     q_pts, s_pts, nbr, kp, self.extent, self.influence,
                     self.aggregation)
-            return kpconv_apply_batched(nbr, x, weights, all_w, edge_t)
+            return kpconv_apply_batched(nbr, x, weights, all_w, edge_t,
+                                        rev)
 
         # deformable: a rigid offset sub-conv predicts per-query kernel-point
         # offsets (+ modulations), zero-initialized bias (blocks.py:213-247)
@@ -447,6 +478,9 @@ class KPCNN(nn.Module):
             pool_edges = [(aux[f"kp_pperm{l}"], aux[f"kp_poff{l}"])
                           if f"kp_pperm{l}" in aux else None
                           for l in range(n_levels - 1)]
+            conv_revs = [aux.get(f"kp_crev{l}") for l in range(n_levels)]
+            pool_revs = [aux.get(f"kp_prev{l}")
+                         for l in range(n_levels - 1)]
         else:
             pts = [(pos.astype(jnp.float32), mask)]
             conv_nbrs, pool_nbrs = [], []
@@ -471,6 +505,8 @@ class KPCNN(nn.Module):
                 r *= 2
             conv_edges = [None] * n_levels
             pool_edges = [None] * (n_levels - 1)
+            conv_revs = [None] * n_levels
+            pool_revs = [None] * (n_levels - 1)
 
         # ---- blocks (channel plan mirrors architectures.py:91-125) ----
         x = batch.x.astype(jnp.float32)
@@ -525,10 +561,12 @@ class KPCNN(nn.Module):
                     q_pts, q_mask = pts[l + 1]
                     nbr = pool_nbrs[l]
                     edge_t = pool_edges[l]
+                    rev = pool_revs[l]
                 else:
                     q_pts, q_mask = p_l, m_l
                     nbr = conv_nbrs[l]
                     edge_t = conv_edges[l]
+                    rev = conv_revs[l]
                 common = dict(act_name=self.activation,
                               use_bn=self.use_batch_norm,
                               bn_momentum=self.batch_norm_momentum,
@@ -547,7 +585,7 @@ class KPCNN(nn.Module):
                                  self.repulse_extent, dtype=self.dtype,
                                  name=f"block{bi}_kpconv")(
                                      p_l, p_l, nbr, x, all_w=w_geo,
-                                     edge_t=edge_t, rel=rel_geo)
+                                     edge_t=edge_t, rel=rel_geo, rev=rev)
                     x = BatchNormBlock(width, self.use_batch_norm,
                                        self.batch_norm_momentum,
                                        self.bn_axis_name,
@@ -558,7 +596,7 @@ class KPCNN(nn.Module):
                     x = self._resnet_block(
                         bi, x, in_dim, out_dim, p_l, q_pts, nbr, m_l, q_mask,
                         kp_disp, extent, strided, train, common, deform,
-                        all_w=w_geo, edge_t=edge_t, rel=rel_geo)
+                        all_w=w_geo, edge_t=edge_t, rel=rel_geo, rev=rev)
                     in_dim = out_dim
                 elif block == "unary":
                     x = UnaryBlock(out_dim, no_relu=False, **common,
@@ -589,7 +627,7 @@ class KPCNN(nn.Module):
     def _resnet_block(self, bi, x, in_dim, out_dim, p_l, q_pts, nbr, in_mask,
                       q_mask, kp_disp, extent, strided, train, common,
                       deform: bool = False, all_w=None, edge_t=None,
-                      rel=None):
+                      rel=None, rev=None):
         """ResnetBottleneckBlock (blocks.py:594-680)."""
         quarter = out_dim // 4
         h = x
@@ -602,7 +640,7 @@ class KPCNN(nn.Module):
                      dtype=self.dtype,
                      name=f"block{bi}_kpconv")(q_pts, p_l, nbr, h,
                                                all_w=all_w, edge_t=edge_t,
-                                               rel=rel)
+                                               rel=rel, rev=rev)
         h = BatchNormBlock(quarter, self.use_batch_norm,
                            self.batch_norm_momentum, self.bn_axis_name,
                            name=f"block{bi}_normconv")(h, q_mask, train)

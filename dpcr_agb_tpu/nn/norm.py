@@ -103,3 +103,23 @@ class MaskedInstanceNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return (y * scale + bias).astype(x.dtype)
+
+
+class MaskedGRN(nn.Module):
+    """Global response normalization over valid rows (MinkowskiGRN,
+    modules/MinkowskiEngine/common.py:322-341): per-channel L2 norm across
+    the whole (masked) point set, normalized by its channel mean, applied
+    as a learnable residual gate. Unused by the paper's SENet configs; kept
+    for module-surface completeness."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        gamma = self.param("gamma", nn.initializers.zeros, (1, self.features))
+        beta = self.param("beta", nn.initializers.zeros, (1, self.features))
+        xm = jnp.where(mask[..., None], x, 0.0)
+        # reduce over every axis but channels (rows of the sparse tensor)
+        axes = tuple(range(x.ndim - 1))
+        gx = jnp.sqrt(jnp.sum(jnp.square(xm), axis=axes, keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return jnp.where(mask[..., None], gamma * (x * nx) + beta + x, 0.0)

@@ -215,6 +215,12 @@ def _edge_transpose(nbr: np.ndarray, ns: int):
     return perm, off
 
 
+def _rev_cap(plan: dict, k: int) -> int:
+    """Static reverse-list width: radius graphs keep in-degree near the
+    out-degree cap K; 2K covers density spikes (reverse_lists asserts)."""
+    return int(plan.get("rev_kr", 2 * k))
+
+
 def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
                         plan: dict) -> Dict[str, np.ndarray]:
     """Per-sample KPConv pyramid on the native C++ ops: per-level points
@@ -248,6 +254,9 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
         nbr[~m] = cap
         nbr[nbr >= n] = cap  # shadow index = padded support count
         out[f"kp_conv{l}"] = nbr
+        if plan.get("reverse_dx", False):
+            out[f"kp_crev{l}"] = reverse_lists(
+                nbr, cap, _rev_cap(plan, klims[l]))
         if plan.get("edge_transpose", False):
             # scatter-free-backward aux: OFF by default — measured SLOWER
             # than XLA's scatter-add on TPU v5e (dx 212 vs 129 ms at
@@ -269,6 +278,9 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
             pool[~qm] = cap
             pool[pool >= n] = cap
             out[f"kp_pool{l}"] = pool
+            if plan.get("reverse_dx", False):
+                out[f"kp_prev{l}"] = reverse_lists(
+                    pool, cap, _rev_cap(plan, klims[l]))
             if plan.get("edge_transpose", False):
                 out[f"kp_pperm{l}"], out[f"kp_poff{l}"] = \
                     _edge_transpose(pool, cap)

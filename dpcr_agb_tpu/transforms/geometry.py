@@ -98,3 +98,30 @@ def dbscan1d_labels(z: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     labels = np.empty(n, dtype=np.int64)
     labels[order] = labels_sorted
     return labels
+
+
+def rw_mask(pos: np.ndarray, ind: np.ndarray, dist: np.ndarray,
+            mask_vertices: np.ndarray, random_ratio: float = 0.04,
+            num_iter: int = 5000, rng: "np.random.Generator" = None
+            ) -> np.ndarray:
+    """Random-walk masking (pure-numpy port of the reference's numba jit,
+    core/data_transform/transforms.py:1098-1112): walk the neighbor graph
+    from random restarts, clearing visited vertices in `mask_vertices`.
+    Unused by the NFI presets; kept for transform-surface completeness.
+
+    pos [N,3]; ind [N,K] neighbor indices; dist [N,K] distances (entries
+    <= 0 mark invalid neighbors); mask_vertices [N] bool, cleared in place.
+    """
+    rng = rng or np.random.default_rng()
+    rand_ind = int(rng.integers(0, len(pos)))
+    for _ in range(num_iter):
+        mask_vertices[rand_ind] = False
+        if rng.random() < random_ratio:
+            rand_ind = int(rng.integers(0, len(pos)))
+        else:
+            neighbors = ind[rand_ind][dist[rand_ind] > 0]
+            if len(neighbors) == 0:
+                rand_ind = int(rng.integers(0, len(pos)))
+            else:
+                rand_ind = int(neighbors[int(rng.integers(0, len(neighbors)))])
+    return mask_vertices

@@ -307,3 +307,83 @@ class TestBatchedFastPath:
             np.asarray(neighbor_gather(x_pad, nbr, jnp.asarray(perm),
                                        jnp.asarray(off))),
             np.asarray(_batched_rows(x_pad, nbr)))
+
+
+class TestReverseGatherBackward:
+    def test_grad_matches_autodiff_scatter(self, rng):
+        from dpcr_agb_tpu.models.kpconv import (_batched_rows,
+                                                neighbor_gather_rev)
+        from dpcr_agb_tpu.ops.host_pyramid import reverse_lists
+        b, ns, nq, k, c, kr = 2, 30, 24, 5, 6, 16
+        nbr = rng.integers(0, ns + 1, (b, nq, k)).astype(np.int32)
+        rnbr = np.stack([reverse_lists(nbr[i], ns, kr) for i in range(b)])
+        x_pad = rng.standard_normal((b, ns + 1, c)).astype(np.float32)
+        gs = rng.standard_normal((b, nq, k, c)).astype(np.float32)
+
+        def loss_ref(xp):
+            return jnp.sum(_batched_rows(xp, jnp.asarray(nbr))
+                           * jnp.asarray(gs))
+
+        def loss_rev(xp):
+            return jnp.sum(neighbor_gather_rev(
+                xp, jnp.asarray(nbr), jnp.asarray(rnbr)) * jnp.asarray(gs))
+
+        want = jax.grad(loss_ref)(jnp.asarray(x_pad))
+        got = jax.grad(loss_rev)(jnp.asarray(x_pad))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_kpcnn_with_reverse_aux_matches(self, rng):
+        """Full KPCNN grads with reverse_dx aux == without (scatter path)."""
+        import dataclasses
+        from dpcr_agb_tpu.models.kpconv import KPCNN
+        from dpcr_agb_tpu.ops.host_pyramid import (kpconv_pyramid_host,
+                                                   kpconv_pyramid_plan)
+        from dpcr_agb_tpu import native
+        if not native.is_available():
+            pytest.skip("native lib unavailable")
+        arch = ["simple", "resnetb", "resnetb_strided", "resnetb",
+                "global_sum"]
+        b, n = 2, 64
+        pos = rng.uniform(0, 1, (b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), bool)
+        mask[1, 50:] = False
+        pos[~mask] = 1e6
+        x = rng.standard_normal((b, n, 3)).astype(np.float32)
+        plan = kpconv_pyramid_plan(0.1, 2.5, 2, n, (1.0, 0.7), [8, 8])
+        per0 = [kpconv_pyramid_host(pos[i], mask[i], plan) for i in range(b)]
+        plan_r = dict(plan, reverse_dx=True)
+        per1 = [kpconv_pyramid_host(pos[i], mask[i], plan_r)
+                for i in range(b)]
+        aux0 = {k2: jnp.asarray(np.stack([p[k2] for p in per0]))
+                for k2 in per0[0]}
+        aux1 = {k2: jnp.asarray(np.stack([p[k2] for p in per1]))
+                for k2 in per1[0]}
+
+        @dataclasses.dataclass
+        class B:
+            pos: jnp.ndarray
+            mask: jnp.ndarray
+            x: jnp.ndarray
+            aux: dict
+
+        net = KPCNN(architecture=arch, num_reg_targets=2, in_features_dim=3,
+                    first_features_dim=16, num_kernel_points=5,
+                    first_subsampling_dl=0.1, point_fracs=(1.0, 0.7),
+                    neighborhood_limits=(8, 8))
+        batch0 = B(jnp.asarray(pos), jnp.asarray(mask), jnp.asarray(x), aux0)
+        batch1 = B(jnp.asarray(pos), jnp.asarray(mask), jnp.asarray(x), aux1)
+        v = net.init(jax.random.PRNGKey(0), batch0, train=False)
+
+        def loss(p, bt):
+            return jnp.sum(net.apply(
+                {"params": p, **{k3: v[k3] for k3 in v if k3 != "params"}},
+                bt, train=False) ** 2)
+
+        g0 = jax.grad(loss)(v["params"], batch0)
+        g1 = jax.grad(loss)(v["params"], batch1)
+        flat0 = jax.tree.leaves(g0)
+        flat1 = jax.tree.leaves(g1)
+        for a, c2 in zip(flat0, flat1):
+            np.testing.assert_allclose(np.asarray(c2), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)

@@ -163,3 +163,28 @@ def test_publish_best_tables_logs_one_table_per_improved(monkeypatch):
     logged.clear()
     tr.publish_best_tables([], metrics, epoch=8)
     assert logged == {}
+
+
+class TestConfusionMatrix:
+    def test_stats_match_sklearn_semantics(self, rng):
+        from dpcr_agb_tpu.metrics.confusion_matrix import ConfusionMatrix
+        gt = rng.integers(0, 3, 200)
+        pr = rng.integers(0, 3, 200)
+        cm = ConfusionMatrix(["a", "b", "c"])
+        cm.count_predicted_batch(gt[:100], pr[:100])
+        cm.count_predicted_batch(gt[100:], pr[100:])
+        mat = cm.get_confusion_matrix()
+        want = np.zeros((3, 3), np.int64)
+        for g, p in zip(gt, pr):
+            want[g, p] += 1
+        np.testing.assert_array_equal(mat, want)
+        stats, class_stats, _ = cm.get_stats()
+        assert abs(stats["acc"] - (gt == pr).mean()) < 1e-9
+        # macro accuracy == mean per-class recall
+        accs = [((pr == c) & (gt == c)).sum() / (gt == c).sum()
+                for c in range(3)]
+        assert abs(stats["macc"] - np.mean(accs)) < 1e-9
+        assert cm.get_overall_accuracy() == stats["acc"]
+        iou = cm.get_average_intersection_union()
+        assert 0.0 <= iou <= 1.0
+        assert ("acc", "a") in class_stats
