@@ -65,3 +65,19 @@ def test_double_batch_training(run_dir):
     batch = next(iter(t.loaders["train"].epoch(0)))
     dbl = np.asarray(batch.is_double)
     assert dbl[1::2].all() and not dbl[0::2].any()
+
+
+def test_training_determinism(tmp_path):
+    """Same seed => bit-identical metrics across two full train runs
+    (explicit PRNG-key plumbing; SURVEY.md §5.2 asks for this guarantee —
+    the reference only seeds and hopes)."""
+    recs = []
+    for run in ("a", "b"):
+        cfg = _cfg(tmp_path, f"run_dir={tmp_path}/det_{run}", "seed=7",
+                   "training.num_workers=2")
+        Trainer(cfg).train()
+        recs.append([json.loads(l)
+                     for l in open(tmp_path / f"det_{run}" / "metrics.jsonl")])
+    assert len(recs[0]) == len(recs[1])
+    for ra, rb in zip(*recs):
+        assert ra == rb, (ra, rb)
