@@ -489,7 +489,9 @@ class Trainer:
             np.asarray(out["reg_out"]), np.asarray(batch.y_reg),
             np.asarray(batch.area_idx), np.asarray(batch.label_idx),
             self.dataset.area_names, self.dataset.reg_targets,
-            sample_mask=sample_mask)
+            sample_mask=sample_mask,
+            pos=None if batch.pos is None else np.asarray(batch.pos),
+            pos_mask=None if batch.mask is None else np.asarray(batch.mask))
 
     def _finalize_epoch(self, epoch: int, stage: str) -> Dict[str, float]:
         self.tracker.finalise()

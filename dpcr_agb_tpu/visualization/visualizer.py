@@ -28,8 +28,10 @@ class Visualizer:
             self._format = [self._format]
         self._save_csv = "csv" in self._format
         self._save_gpkg = "gpkg" in self._format
+        self._save_ply = "ply" in self._format
         self._save_dir = save_dir
-        self._deactivated = not (self._save_csv or self._save_gpkg)
+        self._deactivated = not (self._save_csv or self._save_gpkg
+                                 or self._save_ply)
         self._rows: List[dict] = []
         self._stage = "test"
         self._epoch = 0
@@ -46,8 +48,14 @@ class Visualizer:
     def save_visuals(self, reg_out: np.ndarray, y_reg: np.ndarray,
                      area_idx: np.ndarray, label_idx: np.ndarray,
                      area_names: List[str], reg_targets: List[str],
-                     sample_mask: Optional[np.ndarray] = None):
-        """Collect one batch of de-standardized predictions (visualizer.py:220-247)."""
+                     sample_mask: Optional[np.ndarray] = None,
+                     pos: Optional[np.ndarray] = None,
+                     pos_mask: Optional[np.ndarray] = None):
+        """Collect one batch of de-standardized predictions (visualizer.py:220-247).
+        With format "ply" and pos/pos_mask given, also writes each sample's
+        point cloud to <save_dir>/viz/<area>/<label_idx>.ply with the
+        predicted and true targets as per-point columns (the reference's
+        per-sample ply export, visualizer.py:249-261)."""
         if self._deactivated:
             return
         reg_out = np.asarray(reg_out)
@@ -65,10 +73,31 @@ class Visualizer:
                 row[f"pred_{name}"] = float(reg_out[i, t])
                 row[f"y_{name}"] = float(y_reg[i, t])
             self._rows.append(row)
+            if self._save_ply and pos is not None:
+                self._write_sample_ply(row, area, pos[i], None if
+                                       pos_mask is None else pos_mask[i],
+                                       reg_targets)
+
+    def _write_sample_ply(self, row, area, pos_i, mask_i, reg_targets):
+        from ..data.las_io import write_ply
+        p = np.asarray(pos_i, np.float32)
+        if mask_i is not None:
+            p = p[np.asarray(mask_i, bool)]
+        area_dir = os.path.join(self._save_dir, "viz",
+                                f"{self._stage}_{self._epoch}", str(area))
+        os.makedirs(area_dir, exist_ok=True)
+        cols = {}
+        for name in reg_targets:
+            cols[f"pred_{name}"] = np.full(len(p), row[f"pred_{name}"],
+                                           np.float32)
+            cols[f"y_{name}"] = np.full(len(p), row[f"y_{name}"], np.float32)
+        write_ply(os.path.join(area_dir, f"{row['label_idx']}.ply"), p,
+                  **cols)
 
     def finalize_epoch(self, dataset=None):
         """Join predictions onto label tables; write gpkg/csv (visualizer.py:120-145)."""
-        if self._deactivated or not self._rows:
+        if not (self._save_csv or self._save_gpkg) or not self._rows:
+            self._rows = []
             return
         df = pd.DataFrame(self._rows)
         os.makedirs(self._save_dir, exist_ok=True)

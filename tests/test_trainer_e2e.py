@@ -81,3 +81,20 @@ def test_training_determinism(tmp_path):
     assert len(recs[0]) == len(recs[1])
     for ra, rb in zip(*recs):
         assert ra == rb, (ra, rb)
+
+
+def test_ply_visualization_export(run_dir):
+    cfg = _cfg(run_dir, "visualization=eval",
+               "visualization.format=[csv,ply]",
+               f"training.checkpoint_dir={run_dir}/run",
+               f"run_dir={run_dir}/eval_ply")
+    t = Trainer(cfg, eval_mode=True)
+    t.eval("test")
+    viz = run_dir / "eval_ply" / "viz"
+    plys = list(viz.rglob("*.ply"))
+    assert plys, "per-sample ply export missing"
+    from dpcr_agb_tpu.data.las_io import read_ply
+    props = read_ply(str(plys[0]))
+    assert {"x", "y", "z"} <= set(props)
+    assert any(c.startswith("pred_") for c in props)
+    assert len(props["x"]) > 0
