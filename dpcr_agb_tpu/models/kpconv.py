@@ -27,10 +27,13 @@ rotations (`RandomRotate` in the xy/sparse_xy pipelines) provide the same
 augmentation before the pyramid is built, and eval stays deterministic.
 
 TPU fast path (rigid kernels): batched flat-row gathers (_batched_rows),
-per-level shared influence weights, and an optional host edge transpose for
-a scatter-free gather backward (off by default — see
-host_pyramid.kpconv_pyramid_host). Measured on v5e at bs8/16384 pts/K40:
-device train step 1353 -> ~1100 ms for the paper's 14-block architecture.
+per-level shared influence weights. Honest v5e whole-model value+grad for
+the paper's 14-block architecture: 835 ms at bs8/16384/K40, 1507 ms at the
+paper's training shape bs32/6144 (~21 plots/s/chip). Three alternative
+formulations were built, parity-tested, measured SLOWER, and left as
+opt-ins: fused Pallas kernel (ops/pallas_kpconv.py, 1369 ms), host
+edge-transpose cumsum backward (1554 ms, plan flag edge_transpose), and
+reverse-list gather+sum backward (2269 ms, plan flag reverse_dx).
 """
 from __future__ import annotations
 
