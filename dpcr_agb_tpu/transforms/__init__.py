@@ -6,9 +6,13 @@ from . import features as _features  # noqa: F401
 from . import grid as _grid  # noqa: F401
 from . import filters as _filters  # noqa: F401
 from . import objects as _objects  # noqa: F401
+from . import feature_augment as _feature_augment  # noqa: F401
 
 from .transforms import *  # noqa: F401,F403
 from .features import *  # noqa: F401,F403
+from .feature_augment import (ChromaticAutoContrast, ChromaticJitter,  # noqa: F401
+                              ChromaticTranslation, DropFeature, Jitter,
+                              NormalizeRGB)
 from .grid import GridSampling3D, RandomCoordsFlip, SaveOriginalPosId, ShiftVoxels
 from .filters import ClassificationFilter, FCompose, PlanarityFilter, RandomFilter
 

@@ -301,3 +301,46 @@ def test_determinism_same_key(rng):
     o1 = pipe(np.random.default_rng(123), dict(s))
     o2 = pipe(np.random.default_rng(123), dict(s))
     np.testing.assert_array_equal(o1["pos"], o2["pos"])
+
+
+class TestFeatureAugment:
+    def test_jitter_and_dropfeature(self, rng):
+        from dpcr_agb_tpu.transforms import DropFeature, Jitter
+        s = {"x": np.ones((20, 3), np.float32),
+             "rgb": np.full((20, 3), 0.5, np.float32)}
+        out = Jitter(sigma=0.1, p=1.0)(rng, s)
+        assert not np.allclose(out["x"], s["x"])
+        out = DropFeature(drop_proba=1.0, feature_name="rgb")(rng, s)
+        assert (out["rgb"] == 0).all()
+        out = DropFeature(drop_proba=0.0, feature_name="rgb")(rng, s)
+        assert (out["rgb"] == 0.5).all()
+
+    def test_chromatic_pipeline(self, rng):
+        from dpcr_agb_tpu.transforms import (ChromaticAutoContrast,
+                                             ChromaticJitter,
+                                             ChromaticTranslation,
+                                             NormalizeRGB)
+        s = {"rgb": rng.integers(0, 256, (30, 3)).astype(np.float32)}
+        s = NormalizeRGB()(rng, s)
+        assert s["rgb"].max() <= 1.0 and s["rgb"].min() >= 0.0
+        for t in (ChromaticTranslation(), ChromaticJitter(),
+                  ChromaticAutoContrast()):
+            for _ in range(10):  # hit the probabilistic branches
+                s2 = t(rng, s)
+                assert s2["rgb"].shape == s["rgb"].shape
+                assert s2["rgb"].min() >= -1e-6
+
+    def test_running_stats_and_time_func(self):
+        from dpcr_agb_tpu.utils.timer import RunningStats, time_func
+        rs = RunningStats()
+        xs = [1.0, 2.0, 3.0, 4.0]
+        for v in xs:
+            rs.push(v)
+        assert abs(rs.mean() - np.mean(xs)) < 1e-12
+        assert abs(rs.variance() - np.var(xs, ddof=1)) < 1e-12
+
+        @time_func
+        def f(a):
+            return a + 1
+
+        assert f(1) == 2 and f.stats.n == 1
