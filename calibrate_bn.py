@@ -11,7 +11,7 @@ import logging
 import os
 import sys
 
-from dpcr_agb_tpu.config import load_config
+from dpcr_agb_tpu.config import compose_from_checkpoint, load_config
 from dpcr_agb_tpu.training.trainer import Trainer
 
 CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
@@ -21,9 +21,16 @@ def main(overrides=None):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
-    cfg = load_config(CONF_DIR, "calibrate_bn", overrides or sys.argv[1:])
+    overrides = list(overrides if overrides is not None else sys.argv[1:])
+    # checkpoint-only calibration: rebuild the stored run config (same
+    # surface as eval.py) when no data=/task= selections are given.
+    cfg = compose_from_checkpoint(overrides)
+    if cfg is None:
+        cfg = load_config(CONF_DIR, "calibrate_bn", overrides)
+    saved_training = dict(cfg.get("training") or {})
     cfg["training"] = {
-        "epochs": 0, "batch_size": cfg.get("batch_size", 2),
+        "epochs": 0,
+        "batch_size": cfg.get("batch_size", saved_training.get("batch_size", 2)),
         "num_workers": cfg.get("num_workers", 0), "shuffle": True,
         "checkpoint_dir": cfg["checkpoint_dir"],
         "weight_name": cfg.get("weight_name", "latest"),

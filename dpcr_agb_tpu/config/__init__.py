@@ -1,3 +1,5 @@
-from .engine import Cfg, MISSING, MissingMandatoryValue, load_config, parse_overrides
+from .engine import (Cfg, MISSING, MissingMandatoryValue,
+                     compose_from_checkpoint, load_config, parse_overrides)
 
-__all__ = ["Cfg", "MISSING", "MissingMandatoryValue", "load_config", "parse_overrides"]
+__all__ = ["Cfg", "MISSING", "MissingMandatoryValue", "compose_from_checkpoint",
+           "load_config", "parse_overrides"]

@@ -389,6 +389,33 @@ def _apply_edit(tree: Dict[str, Any], mode: str, dotted: str, value: Any) -> Non
         node[parts[-1]] = value
 
 
+def compose_from_checkpoint(overrides: List[str]) -> Optional[Cfg]:
+    """Checkpoint-only composition (reference ModelCheckpoint.create_model,
+    model_checkpoint.py:182-193): when the CLI gives `checkpoint_dir=` and
+    `model_name=` but no `data=`/`task=` selections, rebuild the run config
+    stored inside the checkpoint and apply the remaining overrides on top.
+    Returns None when the overrides don't qualify (caller falls back to the
+    normal conf-tree composition)."""
+    if any(o.startswith(("data=", "task=")) for o in overrides):
+        return None
+    ckpt_dir = next((o.split("=", 1)[1] for o in overrides
+                     if o.startswith("checkpoint_dir=")), None)
+    name = next((o.split("=", 1)[1] for o in overrides
+                 if o.startswith("model_name=")), None)
+    if not (ckpt_dir and name):
+        return None
+    from dpcr_agb_tpu.training.state import Checkpoint
+    path = os.path.join(ckpt_dir, f"{name}.ckpt")
+    saved = Checkpoint.from_bytes(open(path, "rb").read()).run_config
+    cfg = Cfg({**saved})
+    groups, edits = parse_overrides(overrides)
+    for key, val in groups.items():
+        _apply_edit(cfg._data, "set", key, _parse_value(val))
+    for mode, key, val in edits:
+        _apply_edit(cfg._data, mode, key, val)
+    return cfg
+
+
 def load_config(conf_dir: str, root: str = "config",
                 overrides: Optional[List[str]] = None) -> Cfg:
     """Compose `conf_dir/<root>.yaml` with Hydra-style defaults + CLI overrides."""

@@ -11,7 +11,7 @@ import logging
 import os
 import sys
 
-from dpcr_agb_tpu.config import load_config
+from dpcr_agb_tpu.config import compose_from_checkpoint, load_config
 from dpcr_agb_tpu.training.trainer import Trainer
 
 CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
@@ -22,30 +22,11 @@ def main(overrides=None):
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
     overrides = list(overrides if overrides is not None else sys.argv[1:])
-    # checkpoint-only evaluation (reference ModelCheckpoint.create_model,
-    # model_checkpoint.py:182-193): when no data=/models= selections are
-    # given, rebuild the run configuration stored in the checkpoint.
-    if not any(o.startswith(("data=", "task=")) for o in overrides):
-        ckpt_dir = next((o.split("=", 1)[1] for o in overrides
-                         if o.startswith("checkpoint_dir=")), None)
-        name = next((o.split("=", 1)[1] for o in overrides
-                     if o.startswith("model_name=")), None)
-        if ckpt_dir and name:
-            import os as _os
-            from dpcr_agb_tpu.config import Cfg
-            from dpcr_agb_tpu.training.state import Checkpoint
-            path = _os.path.join(ckpt_dir, f"{name}.ckpt")
-            saved = Checkpoint.from_bytes(open(path, "rb").read()).run_config
-            cfg = Cfg({**saved})
-            from dpcr_agb_tpu.config.engine import (parse_overrides,
-                                                    _apply_edit, _parse_value)
-            groups, edits = parse_overrides(overrides)
-            for key, val in groups.items():
-                _apply_edit(cfg._data, "set", key, _parse_value(val))
-            for mode, key, val in edits:
-                _apply_edit(cfg._data, mode, key, val)
-            return _run_eval(cfg)
-    cfg = load_config(CONF_DIR, "eval", overrides)
+    # checkpoint-only evaluation: rebuild the run configuration stored in
+    # the checkpoint when no data=/task= selections are given.
+    cfg = compose_from_checkpoint(overrides)
+    if cfg is None:
+        cfg = load_config(CONF_DIR, "eval", overrides)
     return _run_eval(cfg)
 
 
