@@ -92,7 +92,9 @@ class ConfusionMatrix:
         numel = cmat.sum(1)
         mask = numel > 0
         if mask.sum() == 0:
-            return stats
+            # consistent arity with the populated case (the reference
+            # returns a bare dict here — a quirk we do not inherit)
+            return stats, class_stats, cmat
         tp = np.diag(cmat)[mask]
         stats["tp"] = float(tp.sum())
         fp = cmat.sum(0)[mask] - tp

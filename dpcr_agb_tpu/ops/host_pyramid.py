@@ -215,10 +215,23 @@ def _edge_transpose(nbr: np.ndarray, ns: int):
     return perm, off
 
 
-def _rev_cap(plan: dict, k: int) -> int:
-    """Static reverse-list width: radius graphs keep in-degree near the
-    out-degree cap K; 2K covers density spikes (reverse_lists asserts)."""
-    return int(plan.get("rev_kr", 2 * k))
+REV_KR_LADDER = (2, 3, 4, 6, 8)  # reverse-list width buckets, in units of K
+
+
+def _rev_cap(plan: dict, k: int, nbr: np.ndarray, ns: int) -> int:
+    """Reverse-list width: an explicit plan['rev_kr'] wins; otherwise pick
+    the smallest ladder bucket covering this sample's max in-degree (radius
+    graphs keep in-degree near the out-degree cap K, but density spikes can
+    exceed 2K — a fixed cap would crash training at collate time). The
+    ladder bounds jit re-specializations; batch stacking pads to the batch
+    max (sentinel-padded, gradient-exact)."""
+    if "rev_kr" in plan:
+        return int(plan["rev_kr"])
+    md = max_in_degree(nbr, ns)
+    for mult in REV_KR_LADDER:
+        if mult * k >= md:
+            return mult * k
+    return max(md, REV_KR_LADDER[-1] * k)
 
 
 def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
@@ -256,7 +269,7 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
         out[f"kp_conv{l}"] = nbr
         if plan.get("reverse_dx", False):
             out[f"kp_crev{l}"] = reverse_lists(
-                nbr, cap, _rev_cap(plan, klims[l]))
+                nbr, cap, _rev_cap(plan, klims[l], nbr, cap))
         if plan.get("edge_transpose", False):
             # scatter-free-backward aux: OFF by default — measured SLOWER
             # than XLA's scatter-add on TPU v5e (dx 212 vs 129 ms at
@@ -280,7 +293,7 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
             out[f"kp_pool{l}"] = pool
             if plan.get("reverse_dx", False):
                 out[f"kp_prev{l}"] = reverse_lists(
-                    pool, cap, _rev_cap(plan, klims[l]))
+                    pool, cap, _rev_cap(plan, klims[l], pool, cap))
             if plan.get("edge_transpose", False):
                 out[f"kp_pperm{l}"], out[f"kp_poff{l}"] = \
                     _edge_transpose(pool, cap)
@@ -300,7 +313,22 @@ def make_kpconv_post_collate(plan_fn):
         mask_b = np.asarray(batch.mask)
         per = [kpconv_pyramid_host(pos_b[i], mask_b[i], plan)
                for i in range(pos_b.shape[0])]
-        aux = {k: np.stack([p[k] for p in per]) for k in per[0]}
+        aux = {}
+        for k in per[0]:
+            arrs = [p[k] for p in per]
+            if k.startswith(("kp_crev", "kp_prev")):
+                # reverse-list widths come from a per-sample bucket ladder
+                # (_rev_cap); pad to the batch max with the sentinel edge id
+                # e = nq*K of the forward list (identical across samples)
+                lvl = k[len("kp_crev"):]
+                fwd = per[0]["kp_conv" + lvl if k.startswith("kp_crev")
+                             else "kp_pool" + lvl]
+                e = fwd.shape[0] * fwd.shape[1]
+                kr = max(a.shape[1] for a in arrs)
+                arrs = [np.pad(a, ((0, 0), (0, kr - a.shape[1])),
+                               constant_values=e)
+                        if a.shape[1] < kr else a for a in arrs]
+            aux[k] = np.stack(arrs)
         return dataclasses.replace(batch, aux=aux)
 
     return post_collate

@@ -74,18 +74,27 @@ def _d2_all(rx, ry, rz, kp_ref, p):
     return dx * dx + dy * dy + dz * dz
 
 
-def _min_d2(rx, ry, rz, kp_ref, n_kp):
-    def body(p, m):
-        return jnp.minimum(m, _d2_all(rx, ry, rz, kp_ref, p))
-    return jax.lax.fori_loop(1, n_kp, body,
-                             _d2_all(rx, ry, rz, kp_ref, 0))
+def _min_idx(rx, ry, rz, kp_ref, n_kp):
+    """Index of the closest kernel point per (query, neighbor). Strict `<`
+    keeps the FIRST minimizer on exact d2 ties — matching the XLA path's
+    one-hot argmin (kpconv_apply_batched); a `<=`-style mask double-counted
+    tied kernel points."""
+    def body(p, carry):
+        m, idx = carry
+        d2 = _d2_all(rx, ry, rz, kp_ref, p)
+        take = d2 < m
+        return jnp.minimum(m, d2), jnp.where(take, p, idx)
+    d0 = _d2_all(rx, ry, rz, kp_ref, 0)
+    _, idx = jax.lax.fori_loop(1, n_kp, body,
+                               (d0, jnp.zeros(d0.shape, jnp.int32)))
+    return idx
 
 
-def _w_tile(rx, ry, rz, kp_ref, p, min_d2, extent, influence, aggregation):
+def _w_tile(rx, ry, rz, kp_ref, p, min_idx, extent, influence, aggregation):
     d2 = _d2_all(rx, ry, rz, kp_ref, p)
     w = _influence(d2, extent, influence)
     if aggregation == "closest":
-        w = jnp.where(d2 <= min_d2, w, 0.0)
+        w = jnp.where(min_idx == p, w, 0.0)
     return w
 
 
@@ -93,11 +102,11 @@ def _fwd_kernel(rx_ref, ry_ref, rz_ref, nx_ref, wf_ref, kp_ref, out_ref, *,
                 n_kp, extent, influence, aggregation, compute_dtype):
     rx, ry, rz = rx_ref[...], ry_ref[...], rz_ref[...]
     nx = nx_ref[...]
-    min_d2 = (_min_d2(rx, ry, rz, kp_ref, n_kp)
-              if aggregation == "closest" else None)
+    min_idx = (_min_idx(rx, ry, rz, kp_ref, n_kp)
+               if aggregation == "closest" else None)
 
     def body(p, out):
-        w = _w_tile(rx, ry, rz, kp_ref, p, min_d2, extent, influence,
+        w = _w_tile(rx, ry, rz, kp_ref, p, min_idx, extent, influence,
                     aggregation)
         part = jnp.sum(w[:, :, None].astype(nx.dtype) * nx, axis=1)  # [T,C]
         return out + jnp.dot(part.astype(compute_dtype),
@@ -116,15 +125,15 @@ def _bwd_kernel(rx_ref, ry_ref, rz_ref, nx_ref, wf_ref, kp_ref, g_ref,
     rx, ry, rz = rx_ref[...], ry_ref[...], rz_ref[...]
     nx = nx_ref[...]
     g = g_ref[...]
-    min_d2 = (_min_d2(rx, ry, rz, kp_ref, n_kp)
-              if aggregation == "closest" else None)
+    min_idx = (_min_idx(rx, ry, rz, kp_ref, n_kp)
+               if aggregation == "closest" else None)
 
     @pl.when(i == 0)
     def _():
         dwf_ref[...] = jnp.zeros_like(dwf_ref)
 
     def body(p, dnx):
-        w = _w_tile(rx, ry, rz, kp_ref, p, min_d2, extent, influence,
+        w = _w_tile(rx, ry, rz, kp_ref, p, min_idx, extent, influence,
                     aggregation)
         wp = w[:, :, None]                                     # [T,K,1]
         dacc_p = jax.lax.dot_general(

@@ -490,8 +490,12 @@ class Trainer:
             np.asarray(batch.area_idx), np.asarray(batch.label_idx),
             self.dataset.area_names, self.dataset.reg_targets,
             sample_mask=sample_mask,
-            pos=None if batch.pos is None else np.asarray(batch.pos),
-            pos_mask=None if batch.mask is None else np.asarray(batch.mask))
+            # device->host transfer of the full point cloud only when the
+            # ply exporter will actually use it
+            pos=(np.asarray(batch.pos) if self.visualizer.wants_pos
+                 and batch.pos is not None else None),
+            pos_mask=(np.asarray(batch.mask) if self.visualizer.wants_pos
+                      and batch.mask is not None else None))
 
     def _finalize_epoch(self, epoch: int, stage: str) -> Dict[str, float]:
         self.tracker.finalise()

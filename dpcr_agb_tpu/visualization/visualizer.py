@@ -40,6 +40,12 @@ class Visualizer:
     def is_active(self) -> bool:
         return not self._deactivated
 
+    @property
+    def wants_pos(self) -> bool:
+        """Only the ply exporter consumes point positions; callers gate the
+        device->host transfer of batch.pos on this."""
+        return self._save_ply
+
     def reset(self, epoch: int, stage: str):
         self._epoch = epoch
         self._stage = stage

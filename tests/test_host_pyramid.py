@@ -153,3 +153,20 @@ class TestReverseLists:
         nbr = np.zeros((10, 4), np.int32)  # all edges hit support 0
         with pytest.raises(ValueError):
             reverse_lists(nbr, 5, 8)
+
+    def test_rev_cap_ladder_covers_density_spikes(self):
+        """_rev_cap picks the smallest ladder bucket >= max in-degree, so a
+        support point referenced by many queries no longer crashes collate
+        (the old fixed 2K cap raised ValueError mid-training)."""
+        from dpcr_agb_tpu.ops.host_pyramid import (_rev_cap, max_in_degree,
+                                                   reverse_lists)
+        k = 4
+        nbr = np.zeros((40, k), np.int32)  # in-degree 160 at support 0
+        ns = 5
+        assert max_in_degree(nbr, ns) == 160
+        kr = _rev_cap({}, k, nbr, ns)
+        assert kr >= 160
+        rnbr = reverse_lists(nbr, ns, kr)  # must not raise
+        assert (rnbr[0] < 40 * k).sum() == 160
+        # explicit plan value still wins (and still asserts)
+        assert _rev_cap({"rev_kr": 9}, k, nbr, ns) == 9

@@ -66,6 +66,31 @@ def test_forward_closest_aggregation(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_closest_tie_breaks_to_first_kernel_point(rng):
+    """Exact d2 ties must select only the FIRST minimizing kernel point
+    (XLA path = one-hot argmin); the fused kernel used to keep every tied
+    point, double-counting the neighbor's contribution."""
+    b, nq, ns, k, c, cout = 1, 8, 8, 4, 6, 8
+    q = np.zeros((b, nq, 3), np.float32)
+    s = np.zeros((b, ns, 3), np.float32)
+    s[:, :, 1] = 0.1  # all rel vectors = (0, 0.1, 0): equidistant to kp0/kp1
+    nbr = rng.integers(0, ns, (b, nq, k)).astype(np.int32)
+    x = rng.standard_normal((b, ns, c)).astype(np.float32)
+    kp = np.zeros((4, 3), np.float32)
+    kp[0] = (0.05, 0, 0)
+    kp[1] = (-0.05, 0, 0)   # exact tie with kp[0]
+    kp[2] = (0, 0, 0.3)
+    kp[3] = (0, 0, -0.3)
+    w = rng.standard_normal((4, c, cout)).astype(np.float32) * 0.2
+    extent = 0.4
+    want = np.asarray(_reference(q, s, nbr, x, kp, w, extent,
+                                 "linear", "closest"))
+    rel, nx = _rel_nx(q, s, nbr, x)
+    got = np.asarray(kpconv_fused(rel, nx, jnp.asarray(w), jnp.asarray(kp),
+                                  extent, "linear", "closest"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_gradients_match_reference(rng):
     q, s, nbr, x, kp, w, extent = _setup(rng)
     rel, nx = _rel_nx(q, s, nbr, x)
