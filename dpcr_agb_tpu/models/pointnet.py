@@ -32,9 +32,14 @@ class MPointNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False,
-                 enable_dropout: bool = False):
+                 enable_dropout: bool = False,
+                 return_point_features: bool = False):
         """enable_dropout keeps Dropout active in eval mode — the reference's
-        enable_dropout_in_eval for MC-style voting (base_model.py:352-360)."""
+        enable_dropout_in_eval for MC-style voting (base_model.py:352-360).
+        return_point_features short-circuits after the shared MLPs and
+        returns the per-point embedding [B, N, embedding_channel] — the
+        `get_local_feat` surface consumed by the PointNetForward inference
+        transform (reference inference_transforms.py:80)."""
         act = ACTIVATIONS[self.activation]
         mask = batch.mask
         feats = batch.x.astype(jnp.float32)
@@ -52,6 +57,8 @@ class MPointNet(nn.Module):
         h = block(feats, 64, "b1")
         h = block(h, 128, "b2")
         h = block(h, self.embedding_channel, "b3")
+        if return_point_features:
+            return h
 
         g = GLOBAL_POOL[self.global_pool](h, mask)          # [B, E]
         # post-pool MLPs: BN over the batch axis (every pooled row is valid)

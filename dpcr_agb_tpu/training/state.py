@@ -94,6 +94,15 @@ class Checkpoint:
     def get_model_state(self, weight_name: str = _LATEST):
         key = weight_name if weight_name in self.models else f"best_{weight_name}"
         if key not in self.models:
+            # reference surface (README.md:164): weight_name=total_X_rmse
+            # without a stage prefix — resolve against the stage-prefixed
+            # best keys, preferring the val selection stage
+            suffix = [k for k in sorted(self.models)
+                      if k.endswith(f"_{weight_name}")]
+            if suffix:
+                key = next((k for k in suffix if k.startswith("best_val_")),
+                           suffix[0])
+        if key not in self.models:
             if _LATEST in self.models:
                 log.warning(f"weight_name={weight_name!r} not found, using latest. "
                             f"Available: {sorted(self.models)}")

@@ -7,6 +7,8 @@ from . import grid as _grid  # noqa: F401
 from . import filters as _filters  # noqa: F401
 from . import objects as _objects  # noqa: F401
 from . import feature_augment as _feature_augment  # noqa: F401
+from . import inference as _inference  # noqa: F401
+from .inference import ModelInference, PointNetForward  # noqa: F401
 
 from .transforms import *  # noqa: F401,F403
 from .features import *  # noqa: F401,F403

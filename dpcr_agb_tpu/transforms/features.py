@@ -147,3 +147,39 @@ class NormalizeFeature(Transform):
         sample[self.feat_name] = (
             (sample[self.feat_name] - self.mean) / self.std).astype(np.float32)
         return sample
+
+
+@register
+class NormalFeature(Transform):
+    """core/data_transform/features.py:259-274 — concatenate per-point
+    normals (sample['norm']) onto x. Like the reference, computing normals
+    when absent is not implemented (the reference raises the same way)."""
+
+    def __call__(self, rng, sample):
+        norm = sample.get("norm")
+        if norm is None:
+            raise NotImplementedError(
+                "NormalFeature requires sample['norm'] (the reference "
+                "raises 'TODO: Implement normal computation' too, "
+                "features.py:267)")
+        sample = dict(sample)
+        x = sample.get("x")
+        sample["x"] = norm if x is None else np.concatenate([x, norm], -1)
+        return sample
+
+
+@register
+class PCACompute(Transform):
+    """core/data_transform/features.py:277-304 — eigendecomposition of the
+    point-cloud covariance; eigenvalues ascending, eigenvectors in columns
+    (first column estimates the cloud's normal)."""
+
+    def __call__(self, rng, sample):
+        pos = sample["pos"].astype(np.float64)
+        centered = pos - pos.mean(axis=0)
+        cov = centered.T @ centered / len(centered)
+        eig, v = np.linalg.eigh(cov)  # ascending, like torch.symeig
+        sample = dict(sample)
+        sample["eigenvalues"] = eig.astype(np.float32)
+        sample["eigenvectors"] = v.astype(np.float32)
+        return sample

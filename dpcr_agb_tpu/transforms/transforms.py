@@ -636,6 +636,28 @@ class DBSCANZOutlierRemoval(Transform):
 
 
 @register
+class OPTICSZOutlierRemoval(Transform):
+    """transforms.py:546-565 — OPTICS (dbscan extraction) on z; keep the z
+    range covered by non-noise points. sklearn stays host-side: this is a
+    cold pre_transform path (unused by the NFI presets)."""
+
+    def __init__(self, eps=1.0, min_samples=10, skip_list=None):
+        self.eps, self.min_samples = eps, min_samples
+        self.skip_list = list(skip_list or [])
+
+    def __call__(self, rng, sample):
+        from sklearn.cluster import OPTICS
+        z = sample["pos"][:, 2]
+        labels = OPTICS(eps=self.eps, min_samples=self.min_samples,
+                        cluster_method="dbscan").fit_predict(z[:, None])
+        keep = labels != -1
+        if not keep.any():
+            return sample
+        mask = (z <= z[keep].max()) & (z >= z[keep].min())
+        return apply_mask(sample, mask, self.skip_list)
+
+
+@register
 class KernelDensityZOutlierRemoval(Transform):
     """transforms.py:565-587 — gaussian KDE on z; keep the z range where
     log-density > log(p)."""

@@ -45,6 +45,7 @@ def test_kernel_map_matches_device(rng, stride, k):
     np.testing.assert_array_equal(hm, np.asarray(dm))
 
 
+@pytest.mark.slow
 def test_sparse_resnet_forward_equal_with_aux(rng):
     from dpcr_agb_tpu.models.minkowski import (DEFAULT_LEVEL_FRACS,
                                                build_resnet)
@@ -78,6 +79,7 @@ def test_plan_caps_match_model_formula():
     assert list(plan["caps"]) == want
 
 
+@pytest.mark.slow
 def test_dense_forward_matches_map_forward(rng):
     """Dense-grid execution == map execution on the same params (within caps
     generous enough that the map path drops nothing)."""
@@ -100,6 +102,7 @@ def test_dense_forward_matches_map_forward(rng):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_kpconv_host_pyramid_matches_device(rng):
     """KPCNN forward with the native-C++ host pyramid (batch.aux) vs the
     on-device pyramid: same point sets/neighborhoods -> same pooled output

@@ -164,6 +164,7 @@ class TestKPCNN:
             num_reg_targets=2, in_features_dim=3,
             first_subsampling_dl=0.05, neighborhood_limits=[12, 12, 12])
 
+    @pytest.mark.slow
     def test_forward_and_padding_invariance(self, rng):
         net = self._net()
         b = self._batch(rng)
@@ -178,6 +179,7 @@ class TestKPCNN:
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_gradients_flow(self, rng):
         net = self._net()
         b = self._batch(rng)
@@ -205,6 +207,7 @@ def test_fps_covers_cloud(rng):
 
 
 class TestDeformableKPConv:
+    @pytest.mark.slow
     def test_deformable_forward_and_reg_loss(self, rng):
         import jax
         from dpcr_agb_tpu.models.kpconv import KPCNN
@@ -249,6 +252,7 @@ class TestBatchedFastPath:
     """The flat-gather batched rigid path must match the per-sample
     reference-oracle functions exactly."""
 
+    @pytest.mark.slow
     def test_batched_matches_per_sample(self, rng):
         import jax
         from dpcr_agb_tpu.models.kpconv import (
@@ -283,6 +287,7 @@ class TestBatchedFastPath:
         np.testing.assert_allclose(np.asarray(pool_b), np.asarray(pool_ref),
                                    rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.slow
     def test_neighbor_gather_grad_matches_autodiff(self, rng):
         """Scatter-free backward (host edge transpose) == autodiff scatter."""
         import jax
@@ -333,6 +338,7 @@ class TestReverseGatherBackward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_kpcnn_with_reverse_aux_matches(self, rng):
         """Full KPCNN grads with reverse_dx aux == without (scatter path)."""
         import dataclasses

@@ -186,6 +186,7 @@ class TestMPointNet:
         assert losses[-1] < losses[0] * 0.3, losses[::10]
 
 
+@pytest.mark.slow
 def test_dense_path_stays_bf16_end_to_end(rng):
     """Regression guard for the silent f32 promotions that halved the
     usable batch size (python-float reduce_window init; f32 bias adds):

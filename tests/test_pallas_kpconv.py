@@ -142,6 +142,7 @@ def test_bf16_features_close(rng):
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
 def test_kpcnn_fused_matches_xla_path(rng):
     """Full KPCNN forward: fused Pallas path == XLA all_w path."""
     from dpcr_agb_tpu.models.kpconv import KPCNN

@@ -47,6 +47,7 @@ def test_forward_shapes(rng, arch):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_padding_invariance(rng):
     net = PointNext(num_reg_targets=2, strides=(1, 2, 2, 2, 2, 1),
                     radius=0.15, nsample=8, num_points=0, dropout=0.0)
@@ -60,6 +61,7 @@ def test_padding_invariance(rng):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gradients_flow(rng):
     net = PointNext(num_reg_targets=1, strides=(1, 2, 2, 2, 2, 1),
                     radius=0.15, nsample=8, num_points=0, dropout=0.0)

@@ -55,6 +55,7 @@ def test_eval_restores_and_exports(run_dir):
     assert csvs, "prediction export missing"
 
 
+@pytest.mark.slow
 def test_double_batch_training(run_dir):
     cfg = _cfg(run_dir, "data.sparse_xy.double_batch=True",
                 f"run_dir={run_dir}/run_double", "debugging=early_break")
@@ -67,6 +68,7 @@ def test_double_batch_training(run_dir):
     assert dbl[1::2].all() and not dbl[0::2].any()
 
 
+@pytest.mark.slow
 def test_training_determinism(tmp_path):
     """Same seed => bit-identical metrics across two full train runs
     (explicit PRNG-key plumbing; SURVEY.md §5.2 asks for this guarantee —
@@ -83,6 +85,7 @@ def test_training_determinism(tmp_path):
         assert ra == rb, (ra, rb)
 
 
+@pytest.mark.slow
 def test_ply_visualization_export(run_dir):
     cfg = _cfg(run_dir, "visualization=eval",
                "visualization.format=[csv,ply]",

@@ -344,3 +344,36 @@ class TestFeatureAugment:
             return a + 1
 
         assert f(1) == 2 and f.stats.n == 1
+
+
+def test_optics_z_outlier_removal(rng):
+    z = np.concatenate([rng.random(1000) * 10, [50.0, 60.0, -40.0]])
+    s = {"pos": np.stack([rng.random(1003), rng.random(1003), z],
+                         1).astype(np.float32)}
+    out = T.OPTICSZOutlierRemoval(eps=1.5, min_samples=10)(rng, s)
+    assert out["pos"].shape[0] == 1000
+    assert out["pos"][:, 2].max() < 11
+
+
+def test_normal_feature_concats_and_raises(rng):
+    n = 20
+    s = {"pos": rng.random((n, 3)).astype(np.float32),
+         "norm": rng.random((n, 3)).astype(np.float32),
+         "x": np.ones((n, 2), np.float32)}
+    out = T.NormalFeature()(rng, s)
+    assert out["x"].shape == (n, 5)
+    np.testing.assert_array_equal(out["x"][:, 2:], s["norm"])
+    with pytest.raises(NotImplementedError):
+        T.NormalFeature()(rng, {"pos": s["pos"]})
+
+
+def test_pca_compute_plane_normal(rng):
+    # points on the z=0 plane: smallest eigenvalue ~0, its eigenvector ~ +-z
+    n = 500
+    pos = np.stack([rng.random(n), rng.random(n), np.zeros(n)],
+                   1).astype(np.float32)
+    out = T.PCACompute()(rng, {"pos": pos})
+    eig, v = out["eigenvalues"], out["eigenvectors"]
+    assert eig[0] <= eig[1] <= eig[2]
+    assert eig[0] < 1e-6
+    np.testing.assert_allclose(np.abs(v[:, 0]), [0, 0, 1], atol=1e-5)

@@ -183,6 +183,7 @@ class TestSparseResNet:
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_train_step_updates(self, rng):
         import optax
         from dpcr_agb_tpu.models.minkowski import build_resnet
