@@ -2,10 +2,13 @@
 read_pt, datasets/instance/las_dataset.py:32-71).
 
 Supports LAS 1.1-1.4, point data record formats 0-10 (core fields: XYZ,
-intensity, classification, return info, gps_time where present). Uncompressed
-LAS only — LAZ requires the lazrs codec, which is not in this image; reading a
-.laz raises a clear error. A writer (LAS 1.2, format 1) is provided for
-synthetic fixtures and tests.
+intensity, classification, return info, gps_time where present).
+
+LAZ: point formats 0-3 (+extra bytes) decompress through the native LASzip
+codec (native/laszip.cpp — compressor 2 pointwise-chunked, v2 items), the
+formats the reference reads via laspy+lazrs (las_dataset.py:36-41). A LAZ
+writer is provided for fixtures/export. Formats 6-10 LAZ (v3 layered items)
+raise a clear error; decompress those to .las externally.
 
 CSV/TXT point files are read via pandas, mirroring the reference fallback.
 """
@@ -42,15 +45,14 @@ def read_las(path: str, attributes: Tuple[str, ...] = ()) -> Tuple[np.ndarray, d
     with open(path, "rb") as f:
         head = f.read(375)
         if head[:4] != b"LASF":
-            if path.lower().endswith(".laz") or head[:4] == b"LASZ":
-                raise LasReadError(
-                    f"{path}: LAZ-compressed input is not supported in this "
-                    "image (no lazrs codec); decompress to .las first")
             raise LasReadError(f"{path}: not a LAS file")
         ver_major, ver_minor = head[24], head[25]
+        header_size = struct.unpack_from("<H", head, 94)[0]
         offset_to_points = struct.unpack_from("<L", head, 96)[0]
-        point_format = head[104]
-        point_format &= 0x3F  # strip LAZ compressor bits
+        n_vlrs = struct.unpack_from("<L", head, 100)[0]
+        raw_format = head[104]
+        compressed = bool(raw_format & 0x80)
+        point_format = raw_format & 0x3F  # strip LAZ compressor bits
         record_len = struct.unpack_from("<H", head, 105)[0]
         n_points = struct.unpack_from("<L", head, 107)[0]
         scales = struct.unpack_from("<3d", head, 131)
@@ -64,9 +66,19 @@ def read_las(path: str, attributes: Tuple[str, ...] = ()) -> Tuple[np.ndarray, d
         if record_len < _MIN_SIZE[point_format]:
             raise LasReadError(f"{path}: record length {record_len} too small "
                                f"for format {point_format}")
-        f.seek(offset_to_points)
-        raw = np.frombuffer(f.read(n_points * record_len), dtype=np.uint8)
-        raw = raw.reshape(n_points, record_len)
+        if compressed:
+            laszip_vlr = _find_laszip_vlr(f, header_size, n_vlrs)
+            if laszip_vlr is None:
+                raise LasReadError(f"{path}: compressed flag set but no "
+                                   "LASzip VLR found")
+            f.seek(offset_to_points)
+            blob = f.read()
+            raw = _laz_decode(path, blob, laszip_vlr, n_points, record_len,
+                              point_data_offset=offset_to_points)
+        else:
+            f.seek(offset_to_points)
+            raw = np.frombuffer(f.read(n_points * record_len), dtype=np.uint8)
+            raw = raw.reshape(n_points, record_len)
 
     xyz_int = raw[:, :12].copy().view("<i4").reshape(n_points, 3)
     pos = xyz_int.astype(np.float64) * np.asarray(scales) + np.asarray(offsets)
@@ -91,6 +103,139 @@ def read_las(path: str, attributes: Tuple[str, ...] = ()) -> Tuple[np.ndarray, d
         off = _GPS_OFFSET[point_format]
         extras["gps_time"] = raw[:, off:off + 8].copy().view("<f8").ravel()
     return pos, extras
+
+
+# --- LAZ (LASzip) support ----------------------------------------------------
+
+# LASzip VLR payload: compressor, coder, version x3, options, chunk_size,
+# special-EVLR fields, then (type, size, version) item triples
+_LASZIP_USER_ID = b"laszip encoded\x00\x00"
+_LASZIP_RECORD_ID = 22204
+# item schemas per point format (type ids: 6=POINT10, 7=GPSTIME11, 8=RGB12,
+# 0=BYTE); extra bytes append a BYTE item
+_LAZ_ITEMS = {0: [(6, 20)], 1: [(6, 20), (7, 8)], 2: [(6, 20), (8, 6)],
+              3: [(6, 20), (7, 8), (8, 6)]}
+
+
+def _find_laszip_vlr(f, header_size: int, n_vlrs: int) -> Optional[dict]:
+    f.seek(header_size)
+    for _ in range(n_vlrs):
+        vlr_head = f.read(54)
+        if len(vlr_head) < 54:
+            return None
+        user_id = vlr_head[2:18]
+        record_id = struct.unpack_from("<H", vlr_head, 18)[0]
+        length = struct.unpack_from("<H", vlr_head, 20)[0]
+        payload = f.read(length)
+        if user_id == _LASZIP_USER_ID and record_id == _LASZIP_RECORD_ID:
+            compressor, coder = struct.unpack_from("<HH", payload, 0)
+            chunk_size = struct.unpack_from("<L", payload, 12)[0]
+            num_items = struct.unpack_from("<H", payload, 32)[0]
+            items = []
+            for i in range(num_items):
+                t, s, v = struct.unpack_from("<HHH", payload, 34 + 6 * i)
+                items.append((t, s, v))
+            return {"compressor": compressor, "coder": coder,
+                    "chunk_size": chunk_size, "items": items}
+    return None
+
+
+def _laz_decode(path: str, blob: bytes, vlr: dict, n_points: int,
+                record_len: int, point_data_offset: int = 0) -> np.ndarray:
+    from .. import native
+
+    if vlr["compressor"] != 2:
+        raise LasReadError(
+            f"{path}: LAZ compressor type {vlr['compressor']} unsupported "
+            "(only 2 = pointwise-chunked / point formats 0-3; decompress "
+            "layered formats 6-10 to .las externally)")
+    for t, s, v in vlr["items"]:
+        if t not in (0, 6, 7, 8) or v != 2:
+            raise LasReadError(
+                f"{path}: LAZ item (type={t}, version={v}) unsupported")
+    types = [t for t, s, v in vlr["items"]]
+    sizes = [s for t, s, v in vlr["items"]]
+    if sum(sizes) != record_len:
+        raise LasReadError(f"{path}: LAZ item sizes {sizes} != record "
+                           f"length {record_len}")
+    if not native.laz_available():
+        raise LasReadError(f"{path}: native laszip codec unavailable "
+                           "(g++ missing?); decompress to .las first")
+    return native.laz_decompress(blob, types, sizes, n_points,
+                                 vlr["chunk_size"] or 50000,
+                                 point_data_offset=point_data_offset)
+
+
+def write_laz(path: str, pos: np.ndarray,
+              classification: Optional[np.ndarray] = None,
+              intensity: Optional[np.ndarray] = None,
+              gps_time: Optional[np.ndarray] = None,
+              scale: float = 0.001, chunk_size: int = 50000) -> None:
+    """Write a LAZ-compressed LAS 1.2 point-format-1 file through the native
+    LASzip codec (fixtures, prediction export, general interchange)."""
+    from .. import native
+
+    pos = np.asarray(pos, dtype=np.float64)
+    n = len(pos)
+    offsets = pos.min(axis=0) if n else np.zeros(3)
+    record_len = 28
+    header_size = 227
+    vlr_payload = bytearray(34 + 6 * 2)
+    struct.pack_into("<HH", vlr_payload, 0, 2, 0)       # compressor 2, coder 0
+    struct.pack_into("<BBH", vlr_payload, 4, 2, 2, 0)   # version 2.2.0
+    struct.pack_into("<L", vlr_payload, 8, 0)           # options
+    struct.pack_into("<L", vlr_payload, 12, chunk_size)
+    struct.pack_into("<qq", vlr_payload, 16, -1, -1)    # no special EVLRs
+    struct.pack_into("<H", vlr_payload, 32, 2)          # num items
+    struct.pack_into("<HHH", vlr_payload, 34, 6, 20, 2)  # POINT10 v2
+    struct.pack_into("<HHH", vlr_payload, 40, 7, 8, 2)   # GPSTIME11 v2
+    vlr = bytearray(54)
+    struct.pack_into("<H", vlr, 0, 0)
+    vlr[2:18] = _LASZIP_USER_ID
+    struct.pack_into("<H", vlr, 18, _LASZIP_RECORD_ID)
+    struct.pack_into("<H", vlr, 20, len(vlr_payload))
+    struct.pack_into("<32s", vlr, 22, b"dpcr_agb_tpu laszip mini")
+
+    offset_to_points = header_size + len(vlr) + len(vlr_payload)
+    header = bytearray(header_size)
+    header[0:4] = b"LASF"
+    header[24] = 1
+    header[25] = 2
+    struct.pack_into("<31s", header, 26, b"dpcr_agb_tpu synthetic")
+    struct.pack_into("<H", header, 94, header_size)
+    struct.pack_into("<L", header, 96, offset_to_points)
+    struct.pack_into("<L", header, 100, 1)              # one VLR (laszip)
+    header[104] = 1 | 0x80                              # format 1, compressed
+    struct.pack_into("<H", header, 105, record_len)
+    struct.pack_into("<L", header, 107, n)
+    struct.pack_into("<3d", header, 131, scale, scale, scale)
+    struct.pack_into("<3d", header, 155, *offsets)
+    mx, mn = (pos.max(axis=0), pos.min(axis=0)) if n else (np.zeros(3),) * 2
+    struct.pack_into("<6d", header, 179, mx[0], mn[0], mx[1], mn[1],
+                     mx[2], mn[2])
+
+    rec = np.zeros((n, record_len), dtype=np.uint8)
+    xyz_int = np.round((pos - offsets) / scale).astype("<i4")
+    rec[:, :12] = xyz_int.view(np.uint8).reshape(n, 12)
+    if intensity is not None:
+        rec[:, 12:14] = np.asarray(intensity, dtype="<u2")[:, None].view(
+            np.uint8).reshape(n, 2)
+    rec[:, 14] = 0x09  # return 1 of 1
+    if classification is not None:
+        rec[:, 15] = np.asarray(classification, dtype=np.uint8)
+    if gps_time is not None:
+        rec[:, 20:28] = np.asarray(gps_time, dtype="<f8")[:, None].view(
+            np.uint8).reshape(n, 8)
+
+    blob = bytearray(native.laz_compress(rec, [6, 7], [20, 8], chunk_size))
+    # patch the chunk-table offset from blob-relative to absolute file offset
+    rel = struct.unpack_from("<q", blob, 0)[0]
+    struct.pack_into("<q", blob, 0, rel + offset_to_points)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(bytes(vlr))
+        f.write(bytes(vlr_payload))
+        f.write(bytes(blob))
 
 
 def write_las(path: str, pos: np.ndarray,

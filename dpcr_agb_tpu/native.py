@@ -209,3 +209,89 @@ def downsample_coords(coords: np.ndarray, mask: np.ndarray, stride: int,
                           np.ascontiguousarray(mask, np.uint8), len(coords),
                           stride, v_out, out_c, out_m)
     return out_c, out_m.astype(bool)
+
+
+# --- LASzip mini codec (native/laszip.cpp) ----------------------------------
+
+_LAZ_LIB_PATH = os.path.join(_SRC_DIR, "liblaszip_mini.so")
+_laz_lib: Optional[ctypes.CDLL] = None
+_laz_tried = False
+
+
+def get_laz_lib() -> Optional[ctypes.CDLL]:
+    global _laz_lib, _laz_tried
+    if _laz_lib is not None or _laz_tried:
+        return _laz_lib
+    _laz_tried = True
+    src = os.path.join(_SRC_DIR, "laszip.cpp")
+    if not os.path.exists(_LAZ_LIB_PATH):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                 "-o", _LAZ_LIB_PATH, src],
+                check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError) as e:
+            log.info(f"native laszip build skipped: {e}")
+            return None
+    try:
+        lib = ctypes.CDLL(_LAZ_LIB_PATH)
+    except OSError as e:
+        log.info(f"native laszip unavailable: {e}")
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.laz_decompress.restype = ctypes.c_int64
+    lib.laz_decompress.argtypes = [
+        u8p, ctypes.c_int64, u16p, u16p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, u8p]
+    lib.laz_compress.restype = ctypes.c_int64
+    lib.laz_compress.argtypes = [
+        u8p, ctypes.c_int64, u16p, u16p, ctypes.c_int64, ctypes.c_int64,
+        u8p, ctypes.c_int64]
+    _laz_lib = lib
+    return _laz_lib
+
+
+def laz_available() -> bool:
+    return get_laz_lib() is not None
+
+
+def laz_decompress(blob: bytes, item_types, item_sizes, n_points: int,
+                   chunk_size: int, point_data_offset: int = 0) -> np.ndarray:
+    """Decompress a LAZ point blob -> raw point records
+    [n_points, record_size] u8. Raises on unsupported items/corrupt data."""
+    lib = get_laz_lib()
+    if lib is None:
+        raise RuntimeError("native laszip codec unavailable (no compiler?)")
+    types = np.ascontiguousarray(item_types, np.uint16)
+    sizes = np.ascontiguousarray(item_sizes, np.uint16)
+    rec = int(sizes.sum())
+    src = np.frombuffer(blob, np.uint8)
+    out = np.zeros((n_points, rec), np.uint8)
+    rc = lib.laz_decompress(np.ascontiguousarray(src), len(src), types,
+                            sizes, len(types), n_points, chunk_size,
+                            point_data_offset, out.reshape(-1))
+    if rc != 0:
+        raise RuntimeError(f"laz_decompress failed (code {rc}) — "
+                           "unsupported LAZ variant or corrupt stream")
+    return out
+
+
+def laz_compress(records: np.ndarray, item_types, item_sizes,
+                 chunk_size: int = 50000) -> bytes:
+    """Compress raw point records [n, record_size] u8 -> LAZ point blob
+    (chunk-table offset + chunks + chunk table)."""
+    lib = get_laz_lib()
+    if lib is None:
+        raise RuntimeError("native laszip codec unavailable (no compiler?)")
+    types = np.ascontiguousarray(item_types, np.uint16)
+    sizes = np.ascontiguousarray(item_sizes, np.uint16)
+    records = np.ascontiguousarray(records, np.uint8)
+    n = len(records)
+    cap = records.size + 4096 + 8 * max(1, n // max(1, chunk_size))
+    out = np.zeros(cap, np.uint8)
+    rc = lib.laz_compress(records.reshape(-1), n, types, sizes, len(types),
+                          chunk_size, out, cap)
+    if rc < 0:
+        raise RuntimeError(f"laz_compress failed (code {rc})")
+    return out[:rc].tobytes()

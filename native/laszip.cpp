@@ -319,6 +319,9 @@ struct Encoder {
     }
 
     void done() {
+        // LASzip ArithmeticEncoder::done(): the decoder may read a few
+        // bytes past this chunk's output — chunk boundaries are recovered
+        // from the chunk table, not from the decoder's consumed position
         U32 init_base = base;
         if (length > 2 * AC_MinLength) {
             base += AC_MinLength;
@@ -329,10 +332,6 @@ struct Encoder {
         }
         if (init_base > base) propagate_carry();
         renorm();
-        // decoder init reads 4 bytes; make sure they exist past short chunks
-        out.push_back(0);
-        out.push_back(0);
-        out.push_back(0);
     }
 };
 
@@ -1325,14 +1324,21 @@ extern "C" {
 // Decompress a LAZ point blob (compressor 2, pointwise chunked, v2 items).
 //
 // in:  compressed bytes beginning at the LAS "offset to point data", i.e.
-//      starting with the i64 chunk-table offset
+//      starting with the i64 chunk-table offset (ABSOLUTE file offset;
+//      point_data_offset converts it to a blob-relative position)
 // schema: item (type, size) pairs; n_items entries
 // out: n_points * record_size bytes of raw little-endian point records
 // Returns 0 on success, negative error code otherwise.
+//
+// Chunk boundaries: the arithmetic decoder reads a few bytes past each
+// chunk's payload (4-byte lookahead), so multi-chunk streams are
+// repositioned from the chunk table (u32 version 0, u32 n_chunks, then
+// chunk byte counts compressed with IntegerCompressor(32,2) ctx 1) — the
+// same recovery real LASzip readers perform.
 int64_t laz_decompress(const uint8_t* in, int64_t in_len,
                        const uint16_t* item_types, const uint16_t* item_sizes,
                        int64_t n_items, int64_t n_points, int64_t chunk_size,
-                       uint8_t* out) {
+                       int64_t point_data_offset, uint8_t* out) {
     if (n_points == 0) return 0;
     Schema schema;
     for (int64_t i = 0; i < n_items; i++) {
@@ -1341,14 +1347,46 @@ int64_t laz_decompress(const uint8_t* in, int64_t in_len,
     }
     const U32 rec = schema.record_size();
     if (in_len < 8) return -1;
-    // chunk table offset (not needed for sequential decode, skip over it)
     const U8* p = in + 8;
     const U8* p_end = in + in_len;
 
+    // chunk starts from the chunk table (needed when n_points > chunk_size)
+    std::vector<const U8*> chunk_start;
+    if (chunk_size > 0 && n_points > chunk_size) {
+        I64 table_abs;
+        std::memcpy(&table_abs, in, 8);
+        I64 table_rel = table_abs - point_data_offset;
+        if (table_rel < 8 || table_rel + 8 > in_len) return -5;
+        const U8* t = in + table_rel;
+        U32 version, n_chunks;
+        std::memcpy(&version, t, 4);
+        std::memcpy(&n_chunks, t + 4, 4);
+        if (version != 0) return -5;
+        Decoder tdec;
+        tdec.in = t + 8;
+        tdec.in_end = p_end;
+        tdec.init();
+        IntegerDecompressor tic;
+        tic.init(&tdec, 2);
+        const U8* pos = in + 8;
+        I32 prev = 0;
+        for (U32 i = 0; i < n_chunks; i++) {
+            chunk_start.push_back(pos);
+            I32 bytes = tic.decompress(prev, 1);
+            prev = bytes;
+            pos += bytes;
+        }
+    }
+
     int64_t done = 0;
+    size_t ci = 0;
     while (done < n_points) {
         int64_t this_chunk = n_points - done;
         if (chunk_size > 0 && this_chunk > chunk_size) this_chunk = chunk_size;
+        if (!chunk_start.empty()) {
+            if (ci >= chunk_start.size()) return -6;
+            p = chunk_start[ci++];
+        }
 
         // first point of the chunk is raw
         if (p + rec > p_end) return -2;
@@ -1509,17 +1547,28 @@ int64_t laz_compress(const uint8_t* in, int64_t n_points,
         done += this_chunk;
     }
 
-    // chunk table (version 0, simple uncompressed layout: LASzip stores a
-    // compressed chunk table; readers here skip via the sequential decode,
-    // and our own reader ignores it — still recorded for offset fidelity)
-    U64 table_off = blob.size();
+    // chunk table, LASzip layout: u32 version(0), u32 number_chunks, then
+    // the chunk byte-counts compressed with IntegerCompressor(32, 2)
+    // context 1, each predicted by its predecessor. (Our own reader decodes
+    // sequentially and skips the table; it is written for conformance with
+    // random-access LASzip readers.)
+    U64 table_off = blob.size();  // relative; caller patches to absolute
     std::memcpy(blob.data(), &table_off, 8);
     U32 version = 0;
     U32 n_chunks = (U32)chunk_bytes.size();
     blob.insert(blob.end(), (U8*)&version, (U8*)&version + 4);
     blob.insert(blob.end(), (U8*)&n_chunks, (U8*)&n_chunks + 4);
-    for (U32 cb : chunk_bytes)
-        blob.insert(blob.end(), (U8*)&cb, (U8*)&cb + 4);
+    {
+        Encoder tenc;
+        tenc.init();
+        IntegerCompressor tic;
+        tic.init(&tenc, 2);
+        for (U32 i = 0; i < n_chunks; i++)
+            tic.compress(i ? (I32)chunk_bytes[i - 1] : 0,
+                         (I32)chunk_bytes[i], 1);
+        tenc.done();
+        blob.insert(blob.end(), tenc.out.begin(), tenc.out.end());
+    }
 
     if ((int64_t)blob.size() > out_cap) return -4;
     std::memcpy(out, blob.data(), blob.size());

@@ -21,6 +21,59 @@ def test_las_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(extras["classification"], cls)
 
 
+def test_laz_roundtrip(tmp_path, rng):
+    """LAZ fixture round-trips through the native LASzip codec (VERDICT
+    item 6; reference las_dataset.py:36-41 reads .laz via laspy+lazrs)."""
+    from dpcr_agb_tpu.data.las_io import write_laz
+
+    n = 3000
+    # airborne-like: correlated xy walk + canopy-height z + gps ramp
+    pos = np.cumsum(rng.normal(0, 0.4, (n, 3)), axis=0)
+    pos += np.array([5e5, 6e6, 50.0])
+    cls = rng.integers(1, 6, n)
+    inten = rng.integers(0, 500, n)
+    gps = np.sort(rng.random(n)) * 10.0 + 3e5
+    path = str(tmp_path / "t.laz")
+    write_laz(path, pos, classification=cls, intensity=inten, gps_time=gps)
+    pos2, extras = read_las(path, attributes=("classification", "intensity",
+                                              "gps_time"))
+    np.testing.assert_allclose(pos2, pos, atol=1e-3)
+    np.testing.assert_array_equal(extras["classification"], cls)
+    np.testing.assert_array_equal(extras["intensity"], inten)
+    np.testing.assert_allclose(extras["gps_time"], gps, rtol=0, atol=0)
+    # compressed output must actually be smaller than raw LAS
+    write_las(str(tmp_path / "t.las"), pos, classification=cls,
+              intensity=inten)
+    import os
+    assert os.path.getsize(path) < os.path.getsize(str(tmp_path / "t.las"))
+
+
+def test_laz_chunked_roundtrip(tmp_path, rng):
+    """Multi-chunk LAZ (n > chunk_size) decodes correctly across chunk
+    boundaries (fresh models/raw first point per chunk)."""
+    from dpcr_agb_tpu.data.las_io import write_laz
+
+    n = 7000
+    pos = np.cumsum(rng.normal(0, 0.3, (n, 3)), axis=0) + 100.0
+    path = str(tmp_path / "chunked.laz")
+    write_laz(path, pos, chunk_size=2048)
+    pos2, _ = read_las(path)
+    np.testing.assert_allclose(pos2, pos, atol=1e-3)
+
+
+def test_laz_read_pt_surface(tmp_path, rng):
+    """read_pt ingests .laz like the reference's laspy path."""
+    from dpcr_agb_tpu.data.las_io import read_pt, write_laz
+
+    pos = rng.random((200, 3)) * 30
+    cls = rng.integers(1, 4, 200)
+    path = str(tmp_path / "p.laz")
+    write_laz(path, pos, classification=cls)
+    pos2, feats, _ = read_pt(path, feature_cols=["classification"])
+    np.testing.assert_allclose(pos2, pos, atol=1e-2)
+    np.testing.assert_array_equal(feats[:, 0], cls)
+
+
 def test_gpkg_roundtrip(tmp_path, rng):
     df = pd.DataFrame({
         "x": rng.random(10) * 1000, "y": rng.random(10) * 1000,
