@@ -242,8 +242,9 @@ def main():
     print(f"stem k7 conv fwd+dW        : {r['stem_fwd_dw']:8.2f} ms")
     r["zfold_fwd_dw"] = timed_diff(zfold_fwd_dw_chain, (x, w))
     print(f"z-fold  conv fwd+dW        : {r['zfold_fwd_dw']:8.2f} ms")
-    r["fold49_fwd_dw"] = timed_diff(fold49_fwd_dw_chain, (x, w))
-    print(f"49-fold conv fwd+dW        : {r['fold49_fwd_dw']:8.2f} ms")
+    # 49-fold: REMOVED — OOM (XLA lays out the [B,D,H,W,3] slice with
+    # batch on sublanes/lanes -> 42.7x padding, 2.36G temp). The z-fold
+    # number stands as the best XLA-level reformulation.
     r["pool_fwd"] = timed_diff(pool_fwd_chain, (h, occ))
     print(f"maxpool fwd                : {r['pool_fwd']:8.2f} ms")
     r["pool_fwd_bwd"] = timed_diff(pool_fwd_bwd_chain, (h, occ))
