@@ -116,3 +116,45 @@ class ConfusionMatrix:
             class_stats["precision", cls_name] = float(precision[i])
             class_stats["f1", cls_name] = float(f1[i])
         return stats, class_stats, cmat
+
+
+def save_confusion_matrix(cm: np.ndarray, path2save: str,
+                          ordered_names: Sequence[str]) -> None:
+    """Export precision.svg / recall.svg heatmaps (reference
+    confusion_matrix.py:87-119 — seaborn there; plain matplotlib here, as
+    seaborn is not in this image)."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cm = np.asarray(cm, dtype=np.float64)
+    names = list(ordered_names)
+
+    def heat(cmn: np.ndarray, path: str) -> None:
+        cmn = cmn.copy()
+        cmn[~np.isfinite(cmn)] = 0
+        n = len(names)
+        fig, ax = plt.subplots(figsize=(max(6, 0.6 * n), max(5, 0.55 * n)))
+        im = ax.imshow(cmn, cmap="viridis", vmin=0.0, vmax=1.0)
+        ax.set_xticks(range(n), names, rotation=35, ha="right")
+        ax.set_yticks(range(n), names)
+        for i in range(n):
+            for j in range(n):
+                ax.text(j, i, f"{cmn[i, j]:.2f}", ha="center", va="center",
+                        color="white" if cmn[i, j] < 0.5 else "black",
+                        fontsize=8)
+        ax.set_ylabel("Actual")
+        ax.set_xlabel("Predicted")
+        fig.colorbar(im, ax=ax)
+        fig.tight_layout()
+        fig.savefig(path, format="svg")
+        plt.close(fig)
+
+    row_sum = cm.sum(axis=-1, keepdims=True)
+    heat(cm / np.where(row_sum == 0, 1, row_sum),
+         os.path.join(path2save, "precision.svg"))
+    col_sum = cm.sum(axis=0, keepdims=True)
+    heat(cm / np.where(col_sum == 0, 1, col_sum),
+         os.path.join(path2save, "recall.svg"))

@@ -21,6 +21,7 @@ these sizes. Parity with ops/voxel.py is test-asserted.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -29,6 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e30
+
+# Stem/pool execution modes (ops/dense_stem.py), env-selectable so bench
+# sweeps can toggle without code edits:
+#   DPCR_STEM_MODE: "xla3d" (default) | "zfold_firewall"
+#   DPCR_POOL_BWD:  "xla" (default: select_and_scatter) | "manual"
+STEM_MODE = os.environ.get("DPCR_STEM_MODE", "xla3d")
+POOL_BWD_MODE = os.environ.get("DPCR_POOL_BWD", "xla")
 
 # D-fold reformulation of tiny-Cin convs (the k7 Cin<=4 stem). Microbenched
 # in isolation it crushes XLA's 3D conv emitter (fwd 140->71 ms, dw
@@ -88,6 +96,10 @@ def dense_conv(x: jnp.ndarray, occ_out: jnp.ndarray, weights: jnp.ndarray,
     cin, cout = weights.shape[-2], weights.shape[-1]
     w_dense = weights.reshape(k, k, k, cin, cout)
     pad = k // 2
+    if STEM_MODE == "zfold_firewall" and cin * k <= 32 and k > 1:
+        from .dense_stem import stem_conv_folded
+        return stem_conv_folded(x, occ_out, weights, k, stride,
+                                compute_dtype)
     if USE_DFOLD_TINY_CIN and cin * k <= 32:
         y = _tiny_cin_conv(x.astype(compute_dtype),
                            w_dense.astype(compute_dtype), k, stride)
@@ -191,6 +203,8 @@ def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
                    occ_out: jnp.ndarray) -> jnp.ndarray:
     """Minkowski MaxPool(kernel 3, stride 2): max over the 3^3 input window
     around 2u, empty inputs excluded (-inf), output only at occupied sites.
+    DPCR_POOL_BWD=manual swaps in the equality-routed backward
+    (ops/dense_stem.manual_max_pool) replacing select_and_scatter.
     NOTE: init must be the VALUE -inf for JAX's reduce_window_max gradient
     rule to apply (any other value falls back to the non-differentiable
     generic reduce_window primitive), must be a STATIC scalar (a traced
@@ -198,6 +212,9 @@ def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
     python-float -inf promotes the pool and its select_and_scatter backward
     volume (the program's largest tensor) to f32, which is what capped the
     batch size at 16."""
+    if POOL_BWD_MODE == "manual":
+        from .dense_stem import manual_max_pool
+        return manual_max_pool(x, occ_in, occ_out)
     filled = jnp.where(occ_in > 0, x, jnp.asarray(NEG_INF, x.dtype))
     y = jax.lax.reduce_window(
         filled, x.dtype.type(-np.inf), jax.lax.max,

@@ -1,0 +1,181 @@
+"""Dense-stem acceleration: z-folded stem convolution behind Pallas layout
+firewalls, and an equality-trick manual maxpool backward.
+
+Round-1/2 measurements on v5e at the bench shape (bs16 x (88,88,80) x
+Cin3 -> 64, bf16, honest chained timing):
+
+  * XLA 3D k7 stem conv fwd+dW:   ~130-140 ms  (the step's dominant op)
+  * z-fold reformulation (7 z-taps folded into channels -> 2D 7x7 conv,
+    Cin 21) fwd+dW:                ~80 ms      in ISOLATION
+  * but folding IN-MODEL regressed throughput in round 1 (47.8 vs 56.4
+    plots/s): XLA layout assignment propagates the folded tensor's exotic
+    layout into neighboring whole-volume ops (batch lands on lanes -> 8x
+    padded tensors -> OOM/slowdowns).
+
+The fix here: wrap the folded computation between `layout_firewall` ops —
+trivial Pallas copy kernels. A custom call is opaque to XLA layout
+assignment, so layouts cannot propagate across it in either direction; the
+cost is one extra HBM round trip of the boundary tensors (~4 ms for the
+1.27 GB stem output at 819 GB/s — repaid ~10x if it keeps the fold's
+isolated speed). The firewall's custom_vjp routes cotangents through a
+copy as well, isolating the backward convs identically.
+
+`manual_max_pool` replaces `reduce_window`'s select-and-scatter backward
+(pathologically slow on TPU) with an equality-mask routing: grad flows to
+every input equal to its window max. This diverges from first-argmax
+semantics only on exact in-window value ties between OCCUPIED cells
+(bf16 makes these possible but rare); empty-cell ties at the -inf fill are
+masked out by occupancy. Enabled by the same flag sweep as the fold.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _copy_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+VMEM_BLOCK_BUDGET = 4 * 1024 * 1024  # per-block bytes (double-buffered)
+
+
+def _pl_copy(x: jnp.ndarray) -> jnp.ndarray:
+    """Identity copy through a Pallas kernel — an XLA layout firewall.
+
+    Blocks are grown from the trailing dims until they hit the VMEM budget
+    so the grid stays coarse (hundreds of programs, not 100k tiny ones)."""
+    if x.ndim < 2:
+        return x
+    itemsize = np.dtype(x.dtype).itemsize
+    n_whole = 2
+    size = x.shape[-1] * x.shape[-2] * itemsize
+    while (n_whole < x.ndim
+           and size * x.shape[-(n_whole + 1)] <= VMEM_BLOCK_BUDGET):
+        size *= x.shape[-(n_whole + 1)]
+        n_whole += 1
+    lead = x.shape[:-n_whole]
+    block = tuple(1 for _ in lead) + x.shape[-n_whole:]
+    grid = lead
+    if not grid:
+        return pl.pallas_call(
+            _copy_kernel, interpret=_interpret(),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
+    idx = lambda *g: g + (0,) * n_whole  # noqa: E731
+    return pl.pallas_call(
+        _copy_kernel, interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec(block, idx)],
+        out_specs=pl.BlockSpec(block, idx))(x)
+
+
+@jax.custom_vjp
+def layout_firewall(x):
+    return _pl_copy(x)
+
+
+def _fw_fwd(x):
+    return _pl_copy(x), None
+
+
+def _fw_bwd(_, ct):
+    return (_pl_copy(ct),)
+
+
+layout_firewall.defvjp(_fw_fwd, _fw_bwd)
+
+
+def zfold_conv(x: jnp.ndarray, w_dense: jnp.ndarray, k: int,
+               stride: int) -> jnp.ndarray:
+    """k^3 conv with the D-axis taps folded into channels: one 2D k x k
+    conv at Cin*k channels. Equivalent math (test-asserted vs dense_conv);
+    ~1.6x the XLA 3D emitter's speed at stem shapes."""
+    b, d, h, w_sp, cin = x.shape
+    cout = w_dense.shape[-1]
+    pad = k // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    n_out = (d + 2 * pad - k) // stride + 1
+    last = (n_out - 1) * stride
+    xs = jnp.concatenate(
+        [xp[:, dd:dd + last + 1:stride] for dd in range(k)], axis=-1)
+    wf = jnp.transpose(w_dense, (1, 2, 0, 3, 4))
+    wf = wf.reshape(1, k, k, k * cin, cout)
+    return jax.lax.conv_general_dilated(
+        xs, wf.astype(x.dtype),
+        window_strides=(1, stride, stride),
+        padding=[(0, 0), (pad, pad), (pad, pad)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def stem_conv_folded(x: jnp.ndarray, occ_out: jnp.ndarray,
+                     weights: jnp.ndarray, kernel_size: int,
+                     stride: int, compute_dtype) -> jnp.ndarray:
+    """Firewalled z-folded stem conv: same contract as dense_grid.dense_conv."""
+    k = kernel_size
+    cin, cout = weights.shape[-2], weights.shape[-1]
+    w5 = weights.reshape(k, k, k, cin, cout).astype(compute_dtype)
+    xi = layout_firewall(x.astype(compute_dtype))
+    y = zfold_conv(xi, w5, k, stride)
+    y = layout_firewall(y)
+    return y * occ_out.astype(y.dtype)
+
+
+NEG_INF = -1e30
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def manual_max_pool(x, occ_in, occ_out):
+    return _pool_fwd_val(x, occ_in, occ_out)
+
+
+def _pool_fwd_val(x, occ_in, occ_out):
+    filled = jnp.where(occ_in > 0, x, jnp.asarray(NEG_INF, x.dtype))
+    y = jax.lax.reduce_window(
+        filled, x.dtype.type(-np.inf), jax.lax.max,
+        (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    return jnp.where(occ_out > 0, y, 0.0)
+
+
+def _pool_fwd(x, occ_in, occ_out):
+    y = _pool_fwd_val(x, occ_in, occ_out)
+    return y, (x, occ_in, occ_out, y)
+
+
+def _pool_bwd(res, ct):
+    x, occ_in, occ_out, y = res
+    b, d, h, w, c = x.shape
+    d2, h2, w2 = y.shape[1:4]
+    ctm = jnp.where(occ_out > 0, ct, 0.0)
+    # dilate pooled max values + cotangents back onto the stride-2 grid
+    yd = jnp.zeros((b, 2 * d2, 2 * h2, 2 * w2, c), y.dtype)
+    yd = yd.at[:, ::2, ::2, ::2].set(
+        jnp.where(occ_out > 0, y, jnp.asarray(NEG_INF, y.dtype)))
+    cd = jnp.zeros((b, 2 * d2, 2 * h2, 2 * w2, c), ctm.dtype)
+    cd = cd.at[:, ::2, ::2, ::2].set(ctm)
+    ydp = jnp.pad(yd, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
+                  constant_values=NEG_INF)[:, : d + 2, : h + 2, : w + 2]
+    cdp = jnp.pad(cd, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))[
+        :, : d + 2, : h + 2, : w + 2]
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for dd in range(3):
+        for hh in range(3):
+            for ww in range(3):
+                ys = ydp[:, dd:dd + d, hh:hh + h, ww:ww + w]
+                cs = cdp[:, dd:dd + d, hh:hh + h, ww:ww + w]
+                acc = acc + jnp.where(x == ys, cs, 0).astype(jnp.float32)
+    dx = (acc * (occ_in > 0)).astype(x.dtype)
+    return dx, None, None
+
+
+manual_max_pool.defvjp(_pool_fwd, _pool_bwd)

@@ -91,6 +91,7 @@ class Trainer:
                 log.info("Resuming from checkpoint run config")
 
         self.dataset = instantiate_dataset(cfg["data"])
+        self._auto_calibrate_kpconv_limits(cfg)
         self.bundle: ModelBundle = instantiate_model(
             cfg["models"], self.model_name, self.dataset, bn_axis_name=None)
         # target-normalization stats travel with the checkpoint (the
@@ -345,6 +346,55 @@ class Trainer:
                                     optim_cfg.get("grad_clip", -1), scaled)
             self.runner = dataclasses.replace(self.runner, tx=self.tx)
             self.runner.__post_init__()
+
+    def _auto_calibrate_kpconv_limits(self, cfg) -> None:
+        """Startup neighborhood-limit calibration for KPConv (the TPU
+        analogue of the reference's uncapped variable-K CPU neighborhoods,
+        models/instance/kpconv.py:46,133-143): static shapes need per-layer
+        K caps; instead of the blanket default 40, sample training plots and
+        cap at the 90th-percentile neighbor count per pyramid level — the
+        edge pipeline (gather/influence/matmul) scales linearly with K.
+
+        Skipped when extra_options.neighborhood_limits is set explicitly or
+        models.<name>.auto_calibrate_limits=False. The calibrated limits are
+        written into the model option (and therefore into the checkpoint's
+        run_config) so restore/eval rebuild the exact same static shapes."""
+        option = cfg["models"].get(self.model_name)
+        if option is None or "kpconv" not in str(option.get("class", "")).lower():
+            return
+        if not option.get("auto_calibrate_limits", True):
+            return
+        extra = option.get("extra_options") or {}
+        if extra.get("neighborhood_limits"):
+            return
+        from .. import native
+        if not native.is_available():
+            return
+        try:
+            from ..utils.neighbor_calibration import run_find_neighbour_dist
+            limits = run_find_neighbour_dist(
+                self.dataset, option, n_samples=16, percentile=90.0)
+        except Exception as e:
+            log.warning(f"neighborhood-limit calibration skipped: {e}")
+            return
+        if not limits:
+            return
+        if hasattr(extra, "_data"):
+            extra = dict(extra._data)
+        else:
+            extra = dict(extra)
+        extra["neighborhood_limits"] = [int(x) for x in limits]
+        option["extra_options"] = extra
+        # run_config was snapshotted before the dataset existed — write the
+        # calibrated limits into it so checkpoints rebuild identical shapes
+        rc = self.checkpoint.checkpoint.run_config
+        try:
+            rc["models"][self.model_name].setdefault("extra_options", {})
+            rc["models"][self.model_name]["extra_options"][
+                "neighborhood_limits"] = extra["neighborhood_limits"]
+        except (KeyError, TypeError):
+            pass
+        log.info(f"auto-calibrated neighborhood_limits: {limits}")
 
     def train(self) -> None:
         if self.find_neighbour_dist:

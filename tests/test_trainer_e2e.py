@@ -69,6 +69,53 @@ def test_double_batch_training(run_dir):
 
 
 @pytest.mark.slow
+def test_senet14_sparse_cli_e2e(tmp_path):
+    """Flagship sparse-voxel path through the real CLI config tree: SENet14
+    + sparse preset, a few steps (early_break), checkpoint written and
+    rmse metrics tracked (VERDICT weak #4: the flagships previously went
+    through the CLI only in un-archived manual runs)."""
+    cfg = load_config(CONF, "config", [
+        "task=instance", "models=instance/minkowski_baseline",
+        "model_name=SENet14", "data=instance/synthetic/reg",
+        # >=20 plots so the seed-42 auto split gives val >=2 samples (a
+        # 1-sample split has no target stats -> no metric meters, matching
+        # the reference's stats gating); coarse voxels + small dense volume
+        # keep the CPU compile tractable
+        "data.transform_type=sparse_xy", "data.synthetic_plots=20",
+        "data.first_subsampling=0.05",
+        "models.SENet14.extra_options.dense_dims=[24,24,32]",
+        f"data.dataroot={tmp_path}/data", "training=nfi/minkowski",
+        "training.epochs=1", "training.batch_size=4",
+        "training.num_workers=0", "debugging=early_break",
+        f"run_dir={tmp_path}/run"])
+    t = Trainer(cfg)
+    t.train()
+    assert (tmp_path / "run" / "SENet14.ckpt").exists()
+    recs = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    val = [r for r in recs if r["stage"] == "val"][-1]
+    assert any(k.endswith("_rmse") and np.isfinite(v)
+               for k, v in val.items() if isinstance(v, float))
+
+
+@pytest.mark.slow
+def test_kpconv_xy_cli_e2e(tmp_path):
+    """Flagship KPConv path through the real CLI config tree: xy preset +
+    host C++ pyramid post-collate, a few steps (early_break)."""
+    cfg = load_config(CONF, "config", [
+        "task=instance", "models=instance/kpconv", "model_name=KPConv",
+        "data=instance/synthetic/reg", "data.transform_type=xy",
+        "data.synthetic_plots=20", "data.first_subsampling=0.05",
+        f"data.dataroot={tmp_path}/data",
+        "training=nfi/kpconv", "training.epochs=1",
+        "training.batch_size=2", "training.num_workers=0",
+        "debugging=early_break", f"run_dir={tmp_path}/run"])
+    t = Trainer(cfg)
+    t.train()
+    assert (tmp_path / "run" / "KPConv.ckpt").exists()
+    recs = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert any(r["stage"] == "val" for r in recs)
+
+
 def test_training_determinism(tmp_path):
     """Same seed => bit-identical metrics across two full train runs
     (explicit PRNG-key plumbing; SURVEY.md §5.2 asks for this guarantee —
@@ -101,3 +148,43 @@ def test_ply_visualization_export(run_dir):
     assert {"x", "y", "z"} <= set(props)
     assert any(c.startswith("pred_") for c in props)
     assert len(props["x"]) > 0
+
+
+def test_tensorboard_3d_visualization_export(run_dir):
+    """tensorboard format writes per-sample add_mesh panels (reference
+    visualizer.py:300-328; VERDICT missing #7)."""
+    cfg = _cfg(run_dir, "visualization=eval",
+               "visualization.format=[csv,tensorboard]",
+               f"training.checkpoint_dir={run_dir}/run",
+               f"run_dir={run_dir}/eval_tb")
+    t = Trainer(cfg, eval_mode=True)
+    t.eval("test")
+    tb_dir = run_dir / "eval_tb" / "tensorboard_viz"
+    assert tb_dir.exists()
+    assert any(f.name.startswith("events.out.tfevents")
+               for f in tb_dir.iterdir())
+
+
+@pytest.mark.slow
+def test_kpconv_auto_calibrates_neighborhood_limits(tmp_path):
+    """Startup calibration replaces the blanket K=40 with per-level
+    90th-percentile neighbor counts, recorded in the checkpoint run_config
+    so restores rebuild identical static shapes."""
+    from dpcr_agb_tpu import native
+    if not native.is_available():
+        pytest.skip("native lib not built")
+    cfg = load_config(CONF, "config", [
+        "task=instance", "models=instance/kpconv", "model_name=KPConv",
+        "data=instance/synthetic/reg", "data.transform_type=xy",
+        "data.synthetic_plots=12", "data.first_subsampling=0.05",
+        f"data.dataroot={tmp_path}/data",
+        "training=nfi/kpconv", "training.epochs=0",
+        "training.batch_size=2", "training.num_workers=0",
+        f"run_dir={tmp_path}/run"])
+    t = Trainer(cfg)
+    limits = t.bundle.net.neighborhood_limits
+    assert limits is not None and len(limits) > 0
+    assert all(isinstance(x, int) and 1 <= x <= 256 for x in limits)
+    rc = t.checkpoint.checkpoint.run_config
+    assert rc["models"]["KPConv"]["extra_options"][
+        "neighborhood_limits"] == list(limits)

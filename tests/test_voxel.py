@@ -274,3 +274,78 @@ class TestDenseConvDFold:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestDenseStem:
+    """ops/dense_stem.py: z-folded firewalled stem conv and the manual
+    maxpool backward vs the default XLA paths."""
+
+    def _vol(self, rng, b=2, d=10, h=10, w=12, cin=3):
+        x = rng.normal(size=(b, d, h, w, cin)).astype(np.float32)
+        occ = (rng.random((b, d, h, w, 1)) < 0.15).astype(np.float32)
+        x = x * occ
+        return jnp.asarray(x), jnp.asarray(occ)
+
+    @pytest.mark.parametrize("k,stride", [(7, 1), (7, 2), (3, 1)])
+    def test_stem_conv_folded_matches_dense_conv(self, rng, k, stride):
+        from dpcr_agb_tpu.ops.dense_grid import dense_conv
+        from dpcr_agb_tpu.ops.dense_stem import stem_conv_folded
+        x, occ = self._vol(rng)
+        cout = 8
+        wts = rng.normal(size=(k ** 3, 3, cout)).astype(np.float32) * 0.1
+        occ_out = occ if stride == 1 else occ[:, ::2, ::2, ::2]
+        want = dense_conv(x, occ_out, jnp.asarray(wts), k, stride)
+        got = stem_conv_folded(x, occ_out, jnp.asarray(wts), k, stride,
+                               jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_stem_conv_folded_dw_matches(self, rng):
+        from dpcr_agb_tpu.ops.dense_grid import dense_conv
+        from dpcr_agb_tpu.ops.dense_stem import stem_conv_folded
+        x, occ = self._vol(rng)
+        wts = jnp.asarray(rng.normal(size=(343, 3, 8)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(2, 10, 10, 12, 8))
+                         .astype(np.float32))
+
+        def loss_ref(w):
+            return jnp.sum(dense_conv(x, occ, w, 7, 1) * ct)
+
+        def loss_fold(w):
+            return jnp.sum(stem_conv_folded(x, occ, w, 7, 1, jnp.float32)
+                           * ct)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_fold)(wts)),
+            np.asarray(jax.grad(loss_ref)(wts)), rtol=1e-4, atol=1e-4)
+
+    def test_manual_max_pool_matches_forward_and_backward(self, rng):
+        from dpcr_agb_tpu.ops.dense_grid import (dense_max_pool,
+                                                 occupancy_pool)
+        from dpcr_agb_tpu.ops.dense_stem import manual_max_pool
+        x, occ = self._vol(rng, cin=4)
+        occ2 = occupancy_pool(occ)
+        want = dense_max_pool(x, occ, occ2)
+        got = manual_max_pool(x, occ, occ2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+        ct = jnp.asarray(rng.normal(size=want.shape).astype(np.float32))
+
+        def loss(fn, xi):
+            return jnp.sum(fn(xi, occ, occ2) * ct)
+
+        # continuous random values: no in-window ties among occupied cells,
+        # so equality routing == select_and_scatter exactly
+        g_ref = jax.grad(lambda xi: loss(dense_max_pool, xi))(x)
+        g_man = jax.grad(lambda xi: loss(manual_max_pool, xi))(x)
+        np.testing.assert_allclose(np.asarray(g_man), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_layout_firewall_identity_and_grad(self, rng):
+        from dpcr_agb_tpu.ops.dense_stem import layout_firewall
+        x = jnp.asarray(rng.normal(size=(2, 3, 4, 8, 6)).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(layout_firewall(x)),
+                                      np.asarray(x))
+        g = jax.grad(lambda v: jnp.sum(layout_firewall(v) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x),
+                                   rtol=1e-6)
