@@ -303,15 +303,45 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
     return out
 
 
-def make_kpconv_post_collate(plan_fn):
-    """Loader post_collate for KPCNN: plan_fn(n0) -> plan; attaches aux."""
+def make_kpconv_post_collate(plan_fn, cache_bytes: Optional[int] = None):
+    """Loader post_collate for KPCNN: plan_fn(n0) -> plan; attaches aux.
+
+    Per-sample pyramid cache: deterministic eval presets feed identical
+    point sets every epoch, so pyramids are memoized by a content hash of
+    the sample's points (stochastic presets — training augs, treeadd-eval —
+    miss naturally). Insert-until-full policy (no LRU eviction: sequential
+    epoch scans would thrash an LRU smaller than the working set). Budget
+    via DPCR_PYRAMID_CACHE_MB (default 2048; 0 disables)."""
     import dataclasses
+    import hashlib
+    import os
+
+    if cache_bytes is None:
+        cache_bytes = int(os.environ.get(
+            "DPCR_PYRAMID_CACHE_MB", "2048")) * (1 << 20)
+    cache: Dict[bytes, Dict[str, np.ndarray]] = {}
+    cache_used = [0]
+
+    def pyramid_for(pos_i, mask_i, plan):
+        if cache_bytes <= 0:
+            return kpconv_pyramid_host(pos_i, mask_i, plan)
+        key = hashlib.blake2b(
+            pos_i.tobytes() + repr(sorted(plan.items())).encode(),
+            digest_size=16).digest()
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        out = kpconv_pyramid_host(pos_i, mask_i, plan)
+        if cache_used[0] < cache_bytes:
+            cache[key] = out
+            cache_used[0] += sum(a.nbytes for a in out.values())
+        return out
 
     def post_collate(batch):
         plan = plan_fn(batch.pos.shape[1])
         pos_b = np.asarray(batch.pos)
         mask_b = np.asarray(batch.mask)
-        per = [kpconv_pyramid_host(pos_b[i], mask_b[i], plan)
+        per = [pyramid_for(pos_b[i], mask_b[i], plan)
                for i in range(pos_b.shape[0])]
         aux = {}
         for k in per[0]:

@@ -173,3 +173,47 @@ class TestReverseLists:
         assert (rnbr[0] < 40 * k).sum() == 160
         # explicit plan value still wins (and still asserts)
         assert _rev_cap({"rev_kr": 9}, k, nbr, ns) == 9
+
+
+def test_kpconv_pyramid_cache_hits_on_identical_points(rng):
+    """Eval-preset pyramid memoization: identical point sets reuse the
+    cached pyramid; different points miss (ops/host_pyramid
+    make_kpconv_post_collate)."""
+    import dataclasses
+    from dpcr_agb_tpu import native
+    if not native.is_available():
+        pytest.skip("native lib not built")
+    from dpcr_agb_tpu.ops.host_pyramid import (kpconv_pyramid_plan,
+                                               make_kpconv_post_collate)
+    calls = []
+    import dpcr_agb_tpu.ops.host_pyramid as hp
+    real = hp.kpconv_pyramid_host
+
+    def counting(pos, mask, plan):
+        calls.append(1)
+        return real(pos, mask, plan)
+
+    plan_fn = lambda v0: kpconv_pyramid_plan(  # noqa: E731
+        0.05, 2.5, 2, v0, (1.0, 0.5), (8, 8))
+
+    @dataclasses.dataclass
+    class B:
+        pos: np.ndarray
+        mask: np.ndarray
+        aux: dict = None
+
+    pos = rng.uniform(0, 1, (2, 64, 3)).astype(np.float32)
+    mask = np.ones((2, 64), bool)
+    hp.kpconv_pyramid_host = counting
+    try:
+        post = make_kpconv_post_collate(plan_fn)
+        b1 = post(B(pos=pos, mask=mask))
+        assert len(calls) == 2
+        b2 = post(B(pos=pos, mask=mask))       # identical -> cache hit
+        assert len(calls) == 2
+        post(B(pos=pos + 0.01, mask=mask))     # different -> miss
+        assert len(calls) == 4
+    finally:
+        hp.kpconv_pyramid_host = real
+    for k in b1.aux:
+        np.testing.assert_array_equal(b1.aux[k], b2.aux[k])
