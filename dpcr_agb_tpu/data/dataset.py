@@ -486,6 +486,8 @@ def instantiate_dataset(dataset_opt) -> LasDataset:
         if not os.path.exists(os.path.join(root, "raw", "nfi.gpkg")):
             from .synthetic import generate_nfi_like_dataset
             n = int(dataset_opt.get("synthetic_plots", 64))
-            log.info(f"Generating synthetic NFI-like dataset ({n} plots) at {root}")
-            generate_nfi_like_dataset(root, n_plots=n)
+            spatial = bool(dataset_opt.get("synthetic_spatial", False))
+            log.info(f"Generating synthetic NFI-like dataset ({n} plots, "
+                     f"spatial_signal={spatial}) at {root}")
+            generate_nfi_like_dataset(root, n_plots=n, spatial_signal=spatial)
     return LasDataset(dataset_opt)

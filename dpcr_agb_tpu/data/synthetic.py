@@ -20,9 +20,20 @@ from .las_io import write_las
 
 
 def generate_plot(rng: np.random.Generator, radius: float = 15.0,
-                  density: float = 12.0):
+                  density: float = 12.0, spatial_signal: bool = False):
     """One plot: returns (points [N,3] float32 local coords, biomass_Mg_ha,
-    volume_m3_ha)."""
+    volume_m3_ha).
+
+    spatial_signal=True mixes two species per plot whose allometric
+    coefficients differ ~2x at EQUAL height — conifers (narrow conical
+    crowns, dense wood) vs broadleaves (wide ellipsoidal crowns, lighter
+    wood). The species is only readable from local 3D crown geometry, so
+    plot-level height statistics underdetermine the targets: a
+    global-stat model hits a ceiling that spatial architectures (voxel
+    CNNs, KPConv) can exceed. The default generator's targets are
+    stat-saturated (linear-on-stats R^2 ~0.94, RESULTS.md) — use this
+    flag (data.synthetic_spatial=True) when benchmarking model ORDERING
+    rather than pipeline mechanics."""
     area = np.pi * radius ** 2
     n_ground = max(50, int(area * density * rng.uniform(0.2, 0.5)))
     # ground: uniform disk with gentle slope + noise
@@ -40,8 +51,15 @@ def generate_plot(rng: np.random.Generator, radius: float = 15.0,
     for _ in range(n_trees):
         h = rng.gamma(4.0, 4.0)  # tree height, mean ~16 m
         h = float(np.clip(h, 2.0, 38.0))
+        conifer = spatial_signal and rng.random() < 0.5
         dbh = 0.012 * h ** 1.3 * rng.uniform(0.8, 1.25)  # diameter (m)
-        crown_r = np.clip(0.16 * h, 0.6, 4.5)
+        if spatial_signal:
+            # conifer: narrow crown, dense wood; broadleaf: wide, light.
+            # Crown geometry is the only observable carrying the species.
+            crown_r = (np.clip(0.09 * h, 0.4, 2.2) if conifer
+                       else np.clip(0.22 * h, 0.8, 6.0))
+        else:
+            crown_r = np.clip(0.16 * h, 0.6, 4.5)
         tr = (radius - 0.5) * np.sqrt(rng.random())
         tth = rng.random() * 2 * np.pi
         tx, ty = tr * np.cos(tth), tr * np.sin(tth)
@@ -50,15 +68,27 @@ def generate_plot(rng: np.random.Generator, radius: float = 15.0,
         n_pts = max(5, int(crown_r ** 2 * np.pi * density * rng.uniform(0.5, 1.5)))
         u = rng.random(n_pts) ** 0.4  # bias toward crown top
         cz = tz + h * (0.35 + 0.65 * (1 - u))
-        cr = crown_r * np.sqrt(rng.random(n_pts)) * (0.3 + 0.7 * u)
+        if spatial_signal and conifer:
+            # conical crown: radius shrinks linearly toward the top
+            rel_h = (cz - tz) / max(h, 1e-6)
+            cone = np.clip(1.2 * (1.0 - rel_h), 0.05, 1.0)
+            cr = crown_r * np.sqrt(rng.random(n_pts)) * cone
+        else:
+            cr = crown_r * np.sqrt(rng.random(n_pts)) * (0.3 + 0.7 * u)
         cth = rng.random(n_pts) * 2 * np.pi
         cx = tx + cr * np.cos(cth)
         cy = ty + cr * np.sin(cth)
         parts.append(np.stack([cx, cy, cz + rng.normal(0, 0.1, n_pts)], axis=1))
         # allometry: stem volume ~ form factor * basal area * height
         v = 0.45 * np.pi * (dbh / 2) ** 2 * h
+        if spatial_signal:
+            v *= 1.35 if conifer else 0.75       # form factor by species
+            wood_density = (rng.uniform(560, 640) if conifer
+                            else rng.uniform(300, 380))
+        else:
+            wood_density = rng.uniform(420, 520)
         volume_m3 += v
-        biomass_kg += v * rng.uniform(420, 520)  # wood density kg/m3
+        biomass_kg += v * wood_density
 
     pts = np.concatenate(parts, axis=0)
     keep = (pts[:, 0] ** 2 + pts[:, 1] ** 2) <= radius ** 2
@@ -71,7 +101,8 @@ def generate_plot(rng: np.random.Generator, radius: float = 15.0,
 
 def generate_nfi_like_dataset(root: str, n_plots: int = 60, seed: int = 0,
                               radius: float = 15.0,
-                              label_format: str = "gpkg") -> str:
+                              label_format: str = "gpkg",
+                              spatial_signal: bool = False) -> str:
     """Create `<root>/raw/` with per-plot .las files + a label table
     (nfi.gpkg or labels.csv) shaped like the reference's NFI layout:
     object-type area, pt_identifier column 'las_file', targets
@@ -82,7 +113,8 @@ def generate_nfi_like_dataset(root: str, n_plots: int = 60, seed: int = 0,
     os.makedirs(os.path.join(raw, "plots"), exist_ok=True)
     rows = []
     for i in range(n_plots):
-        pts, bmag, v = generate_plot(rng, radius=radius)
+        pts, bmag, v = generate_plot(rng, radius=radius,
+                                     spatial_signal=spatial_signal)
         # place the plot somewhere in a fake projected CRS
         cx, cy = rng.uniform(5e5, 6e5), rng.uniform(6e6, 6.1e6)
         world = pts + np.array([cx, cy, rng.uniform(0, 200)], dtype=np.float32)

@@ -241,3 +241,29 @@ def test_loader_determinism(synth_root):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_spatial_signal_generator_defeats_stat_models(rng):
+    """data.synthetic_spatial=True mixes species whose allometry differs at
+    equal height, readable only from crown geometry — the benchmark mode
+    where spatial architectures can beat global-stat models (RESULTS.md:
+    the default generator is stat-saturated)."""
+    from dpcr_agb_tpu.data.synthetic import generate_plot
+    from sklearn.linear_model import LinearRegression
+
+    def stats_r2(flag):
+        X, Y = [], []
+        for _ in range(220):
+            pts, b, v = generate_plot(rng, spatial_signal=flag)
+            z = pts[:, 2]
+            qs = np.percentile(z, [10, 50, 90, 99])
+            X.append([z.mean(), z.std(), z.max(), len(pts), *qs])
+            Y.append([b, v])
+        X, Y = np.asarray(X), np.asarray(Y)
+        m = LinearRegression().fit(X[:160], np.sqrt(Y[:160]))
+        p = np.clip(m.predict(X[160:]), 0, None) ** 2
+        y = Y[160:, 0]
+        return 1 - ((y - p[:, 0]) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+
+    assert stats_r2(False) > 0.85     # default: stat-saturated
+    assert stats_r2(True) < 0.82      # spatial: stats underdetermine
