@@ -168,9 +168,16 @@ class ModelCheckpoint:
     def save_best_models_under_current_metrics(
             self, state: TrainState, stage: str, epoch: int,
             metrics: Dict[str, float], metric_funcs: Dict[str, Callable],
-            optimizer_name: str = "AdaBelief") -> List[str]:
+            optimizer_name: str = "AdaBelief",
+            persist: bool = True) -> List[str]:
         """Returns names of improved metrics (model_checkpoint.py:255-362).
-        `metrics` keys are stage-prefixed tracker keys."""
+        `metrics` keys are stage-prefixed tracker keys.
+
+        persist=False updates the in-memory checkpoint only; the trainer
+        passes it for all but the LAST stage of an epoch so the (large)
+        checkpoint file is serialized once per epoch, not once per stage —
+        on the 1-core host a SENet50 checkpoint is ~1.7 GB and the triple
+        write dominated epoch wall-clock."""
         ckpt = self.checkpoint
         stats = ckpt.stats.setdefault(stage, [])
         state_dict = state.model_state()
@@ -190,7 +197,12 @@ class ModelCheckpoint:
                     continue
                 if latest_stats is None:
                     current_stat[f"best_{metric_name}"] = value
-                    ckpt.models[f"best_{metric_name}"] = state_dict
+                    # best-model snapshots only for the selection stage
+                    # (reference model_checkpoint.py:299-345 semantics; the
+                    # old unconditional store left stale best_<other-stage>
+                    # entries from epoch 1 inflating every later save)
+                    if self.selection_stage == stage:
+                        ckpt.models[f"best_{metric_name}"] = state_dict
                 else:
                     prev_best = latest_stats.get(f"best_{metric_name}", value)
                     best = func(prev_best, value)
@@ -205,7 +217,8 @@ class ModelCheckpoint:
                            "step": state.step, "epoch": state.epoch,
                            "num_samples": state.num_samples})
         stats.append(current_stat)
-        self.save()
+        if persist:
+            self.save()
         return improved
 
 

@@ -414,12 +414,18 @@ class Trainer:
             self._train_epoch(epoch)
             if self.profiling and self.num_batches_stop:
                 return
-            if self.eval_frequency and epoch % self.eval_frequency == 0:
-                for stage in ("val", "test"):
-                    if self.loaders.get(stage):
-                        metrics = self._test_epoch(epoch, stage)
-                        if stage == (self.selection_stage or "val"):
-                            self._apply_plateau(metrics)
+            eval_stages = [s for s in ("val", "test")
+                           if self.eval_frequency
+                           and epoch % self.eval_frequency == 0
+                           and self.loaders.get(s)]
+            # one checkpoint serialization per epoch (persist on last stage)
+            self._persist_next = not eval_stages
+            if eval_stages:
+                for i, stage in enumerate(eval_stages):
+                    self._persist_next = (i == len(eval_stages) - 1)
+                    metrics = self._test_epoch(epoch, stage)
+                    if stage == (self.selection_stage or "val"):
+                        self._apply_plateau(metrics)
 
     def eval(self, stage: str = "test") -> Dict[str, float]:
         if self.loaders.get(stage) is None:
@@ -552,7 +558,7 @@ class Trainer:
         metrics = self.tracker.get_metrics()
         improved = self.checkpoint.save_best_models_under_current_metrics(
             self.state, stage, epoch, metrics, self.tracker.metric_func,
-            self.optimizer_name)
+            self.optimizer_name, persist=getattr(self, "_persist_next", True))
         if improved:
             log.info(f"improved: {', '.join(improved)}")
             self.tracker.publish_best_tables(improved, metrics, epoch)
