@@ -11,6 +11,7 @@ run() {
   DPCR_STEM_MODE=$1 DPCR_POOL_BWD=$2 timeout 3600 python bench.py \
     2>/tmp/bench_$1_$2.err | tee /tmp/bench_$1_$2.json
 }
+run zfold2d_firewall manual
 run zfold_firewall manual
-run zfold_firewall xla
+run zfold2d_firewall xla
 run xla3d manual

@@ -33,7 +33,7 @@ NEG_INF = -1e30
 
 # Stem/pool execution modes (ops/dense_stem.py), env-selectable so bench
 # sweeps can toggle without code edits:
-#   DPCR_STEM_MODE: "xla3d" (default) | "zfold_firewall"
+#   DPCR_STEM_MODE: "xla3d" (default) | "zfold_firewall" | "zfold2d_firewall"
 #   DPCR_POOL_BWD:  "xla" (default: select_and_scatter) | "manual"
 STEM_MODE = os.environ.get("DPCR_STEM_MODE", "xla3d")
 POOL_BWD_MODE = os.environ.get("DPCR_POOL_BWD", "xla")
@@ -96,10 +96,12 @@ def dense_conv(x: jnp.ndarray, occ_out: jnp.ndarray, weights: jnp.ndarray,
     cin, cout = weights.shape[-2], weights.shape[-1]
     w_dense = weights.reshape(k, k, k, cin, cout)
     pad = k // 2
-    if STEM_MODE == "zfold_firewall" and cin * k <= 32 and k > 1:
+    if (STEM_MODE in ("zfold_firewall", "zfold2d_firewall")
+            and cin * k <= 32 and k > 1):
         from .dense_stem import stem_conv_folded
         return stem_conv_folded(x, occ_out, weights, k, stride,
-                                compute_dtype)
+                                compute_dtype,
+                                two_d=STEM_MODE == "zfold2d_firewall")
     if USE_DFOLD_TINY_CIN and cin * k <= 32:
         y = _tiny_cin_conv(x.astype(compute_dtype),
                            w_dense.astype(compute_dtype), k, stride)

@@ -63,8 +63,30 @@ class Checkpoint:
 
     # --- io -------------------------------------------------------------
     def to_bytes(self) -> bytes:
+        # Deduplicate model snapshots: several best_<metric> entries usually
+        # point at the same epoch's weights (the trainer assigns one
+        # state_dict object to every metric that improved), and on a resumed
+        # checkpoint distinct objects may still hold identical bytes. The
+        # reference serializes each state_dict fully (model_checkpoint.py:
+        # 299-345 via torch.save); with ~8 tracked best keys that makes a
+        # SENet50 file ~1.7 GB. Pooling by content hash keeps the
+        # single-file format while writing each unique snapshot once.
+        host_models = _to_host(self.models)
+        pool: Dict[str, Any] = {}
+        refs: Dict[str, str] = {}
+        ident: Dict[int, str] = {}
+        for name, state in host_models.items():
+            pid = ident.get(id(self.models.get(name)))
+            if pid is None:
+                pid = _state_fingerprint(state)
+                if pid not in pool:
+                    pool[pid] = state
+                if isinstance(self.models.get(name), dict):
+                    ident[id(self.models[name])] = pid
+            refs[name] = pid
         payload = {
-            "models": _to_host(self.models),
+            "model_pool": pool,
+            "model_refs": refs,
             "stats": self.stats,
             "optimizer": {"name": self.optimizer[0],
                           "state": _to_host(self.optimizer[1])}
@@ -79,7 +101,15 @@ class Checkpoint:
     def from_bytes(cls, data: bytes) -> "Checkpoint":
         payload = serialization.msgpack_restore(data)
         ckpt = cls(payload.get("run_config"), payload.get("dataset_properties"))
-        ckpt.models = unfreeze(freeze(payload.get("models", {})))
+        if "model_pool" in payload:
+            pool = {pid: unfreeze(freeze(state))
+                    for pid, state in payload["model_pool"].items()}
+            # entries sharing a pool id come back as the SAME object, so a
+            # later save() re-dedupes them by identity without re-hashing
+            ckpt.models = {name: pool[pid]
+                           for name, pid in payload["model_refs"].items()}
+        else:  # legacy (round-1) format: models stored directly
+            ckpt.models = unfreeze(freeze(payload.get("models", {})))
         ckpt.stats = {k: list(v) for k, v in payload.get("stats", {}).items()}
         opt = payload.get("optimizer") or {}
         if opt:
@@ -111,6 +141,20 @@ class Checkpoint:
                 raise KeyError(f"No weights {weight_name!r} in checkpoint "
                                f"(have {sorted(self.models)})")
         return self.models[key]
+
+
+def _state_fingerprint(state) -> str:
+    """Content hash of a host-side model state tree (~1 GB/s via blake2b —
+    cheap next to writing duplicate gigabytes to disk)."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    h.update(str(treedef).encode())
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        h.update(str((arr.dtype.str, arr.shape)).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
 
 
 def _msgpack_safe(obj):

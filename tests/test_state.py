@@ -1,0 +1,75 @@
+"""Checkpoint serialization: content-deduped model pool + legacy compat.
+
+Reference semantics: metrics/model_checkpoint.py:24-58 (single file holding
+models{latest, best_<metric>}, stats, optimizer, run_config); our format
+additionally pools identical model snapshots so the file does not grow
+linearly in the number of tracked best-metrics.
+"""
+import numpy as np
+from flax import serialization
+
+from dpcr_agb_tpu.training.state import Checkpoint
+
+
+def _state(seed, n=1000):
+    rng = np.random.RandomState(seed)
+    return {"params": {"w": rng.randn(n, 8).astype(np.float32),
+                       "b": rng.randn(8).astype(np.float32)},
+            "batch_stats": {"mean": np.zeros(8, np.float32)}}
+
+
+def _tree_eq(a, b):
+    import jax
+    fa, ta = jax.tree_util.tree_flatten(a)
+    fb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    return all(np.array_equal(x, y) for x, y in zip(fa, fb))
+
+
+def test_model_pool_dedup_and_roundtrip():
+    ckpt = Checkpoint(run_config={"model_name": "X"})
+    latest = _state(0)
+    # same object under several best keys (how the trainer assigns improved
+    # metrics) + a content-equal but distinct object (post-resume case)
+    ckpt.models = {
+        "latest": latest,
+        "best_val_total_BMag_ha_rmse": latest,
+        "best_val_total_V_ha_rmse": latest,
+        "best_val_loss": _state(0),
+        "best_val_total_BMag_ha_mae": _state(7),
+    }
+    ckpt.stats["train"].append({"epoch": 1})
+    data = ckpt.to_bytes()
+
+    payload = serialization.msgpack_restore(data)
+    assert set(payload["model_refs"]) == set(ckpt.models)
+    # 5 names -> 2 unique snapshots in the pool
+    assert len(payload["model_pool"]) == 2
+
+    back = Checkpoint.from_bytes(data)
+    assert set(back.models) == set(ckpt.models)
+    for name in ckpt.models:
+        assert _tree_eq(back.models[name], ckpt.models[name])
+    # shared pool entries come back as the same object (re-dedup by identity)
+    assert back.models["latest"] is back.models["best_val_loss"]
+    assert back.start_epoch == 2
+
+    # size: well under writing 5 full copies
+    naive = len(serialization.msgpack_serialize(
+        {k: v for k, v in ckpt.models.items()}))
+    assert len(data) < 0.6 * naive
+
+
+def test_legacy_models_key_still_loads():
+    state = _state(3)
+    legacy = serialization.msgpack_serialize({
+        "models": {"latest": state},
+        "stats": {"train": [], "val": [], "test": []},
+        "optimizer": {},
+        "schedulers": {},
+        "run_config": {"model_name": "L"},
+        "dataset_properties": {},
+    })
+    back = Checkpoint.from_bytes(legacy)
+    assert _tree_eq(back.models["latest"], state)
+    assert back.get_model_state("latest") is back.models["latest"]

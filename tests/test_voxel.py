@@ -286,8 +286,9 @@ class TestDenseStem:
         x = x * occ
         return jnp.asarray(x), jnp.asarray(occ)
 
+    @pytest.mark.parametrize("two_d", [False, True])
     @pytest.mark.parametrize("k,stride", [(7, 1), (7, 2), (3, 1)])
-    def test_stem_conv_folded_matches_dense_conv(self, rng, k, stride):
+    def test_stem_conv_folded_matches_dense_conv(self, rng, k, stride, two_d):
         from dpcr_agb_tpu.ops.dense_grid import dense_conv
         from dpcr_agb_tpu.ops.dense_stem import stem_conv_folded
         x, occ = self._vol(rng)
@@ -296,11 +297,12 @@ class TestDenseStem:
         occ_out = occ if stride == 1 else occ[:, ::2, ::2, ::2]
         want = dense_conv(x, occ_out, jnp.asarray(wts), k, stride)
         got = stem_conv_folded(x, occ_out, jnp.asarray(wts), k, stride,
-                               jnp.float32)
+                               jnp.float32, two_d=two_d)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
 
-    def test_stem_conv_folded_dw_matches(self, rng):
+    @pytest.mark.parametrize("two_d", [False, True])
+    def test_stem_conv_folded_dw_matches(self, rng, two_d):
         from dpcr_agb_tpu.ops.dense_grid import dense_conv
         from dpcr_agb_tpu.ops.dense_stem import stem_conv_folded
         x, occ = self._vol(rng)
@@ -312,17 +314,22 @@ class TestDenseStem:
             return jnp.sum(dense_conv(x, occ, w, 7, 1) * ct)
 
         def loss_fold(w):
-            return jnp.sum(stem_conv_folded(x, occ, w, 7, 1, jnp.float32)
+            return jnp.sum(stem_conv_folded(x, occ, w, 7, 1, jnp.float32,
+                                            two_d=two_d)
                            * ct)
 
         np.testing.assert_allclose(
             np.asarray(jax.grad(loss_fold)(wts)),
             np.asarray(jax.grad(loss_ref)(wts)), rtol=1e-4, atol=1e-4)
 
-    def test_manual_max_pool_matches_forward_and_backward(self, rng):
+    @pytest.mark.parametrize("fwd_mode", ["separable", "window3d"])
+    def test_manual_max_pool_matches_forward_and_backward(
+            self, rng, fwd_mode, monkeypatch):
         from dpcr_agb_tpu.ops.dense_grid import (dense_max_pool,
                                                  occupancy_pool)
+        from dpcr_agb_tpu.ops import dense_stem
         from dpcr_agb_tpu.ops.dense_stem import manual_max_pool
+        monkeypatch.setattr(dense_stem, "POOL_FWD_MODE", fwd_mode)
         x, occ = self._vol(rng, cin=4)
         occ2 = occupancy_pool(occ)
         want = dense_max_pool(x, occ, occ2)
