@@ -251,7 +251,11 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
 
     # level 0 keeps the ORIGINAL row order (indices address batch features);
     # padding rows are parked far away so the radius search never hits them.
-    n0 = int(mask.sum())  # collate puts valid rows first
+    # collate puts valid rows first (data/batch.py collate), so the radius
+    # search runs on the compact valid slice only — feeding the padded
+    # arrays would drop every shadow row into ONE grid cell and cost
+    # O(padding^2) distance tests per level (measured 5-10x of the whole
+    # pyramid on real batches).
     padded = np.where(mask[:, None], pos, SHADOW_POS).astype(np.float32)
     m = mask.copy()
     pts = pos[mask].astype(np.float32)
@@ -263,9 +267,12 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
         out[f"kp_mask{l}"] = m
         r_search = r * (plan["deform_scale"] if plan["deform_levels"][l]
                         else 1.0)
-        nbr = native.radius_neighbors(padded, padded, r_search, klims[l])
-        nbr[~m] = cap
-        nbr[nbr >= n] = cap  # shadow index = padded support count
+        nbr = np.full((cap, klims[l]), cap, np.int32)
+        if n:
+            nv = native.radius_neighbors(padded[:n], padded[:n], r_search,
+                                         klims[l])
+            # C++ pads with len(supports)=n; shadow index = padded count
+            nbr[:n] = np.where(nv >= n, cap, nv)
         out[f"kp_conv{l}"] = nbr
         if plan.get("reverse_dx", False):
             out[f"kp_crev{l}"] = reverse_lists(
@@ -287,9 +294,11 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
             qm = np.zeros(next_cap, bool)
             q_pad[: len(sub)] = sub
             qm[: len(sub)] = True
-            pool = native.radius_neighbors(q_pad, padded, r_search, klims[l])
-            pool[~qm] = cap
-            pool[pool >= n] = cap
+            pool = np.full((next_cap, klims[l]), cap, np.int32)
+            if len(sub) and n:
+                pv = native.radius_neighbors(sub.astype(np.float32),
+                                             padded[:n], r_search, klims[l])
+                pool[: len(sub)] = np.where(pv >= n, cap, pv)
             out[f"kp_pool{l}"] = pool
             if plan.get("reverse_dx", False):
                 out[f"kp_prev{l}"] = reverse_lists(
