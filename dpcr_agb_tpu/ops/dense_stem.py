@@ -53,31 +53,65 @@ VMEM_BLOCK_BUDGET = 4 * 1024 * 1024  # per-block bytes (double-buffered)
 def _pl_copy(x: jnp.ndarray) -> jnp.ndarray:
     """Identity copy through a Pallas kernel — an XLA layout firewall.
 
-    Blocks are grown from the trailing dims until they hit the VMEM budget
-    so the grid stays coarse (hundreds of programs, not 100k tiny ones)."""
-    if x.ndim < 2:
+    Mosaic pads a VMEM block's minormost dim to 128 lanes and the
+    second-minor to the dtype's sublane tile (32/itemsize), so a naive
+    block over e.g. a [...,80,3] stem input costs 128/3 = 42x its logical
+    bytes of VMEM (round-1 sweep: a 3.7 MB window became a 317 MB
+    allocation and failed to compile). Two counter-measures here: small
+    trailing dims are MERGED (a free bitcast — both sides are contiguous
+    minor dims) until the minormost dim is >=128 elements, and block
+    growth budgets the PADDED byte size. Blocks are grown from the
+    trailing dims until they hit the VMEM budget so the grid stays coarse
+    (hundreds of programs, not 100k tiny ones); when even two trailing
+    dims exceed the budget, the second-minor dim is split instead."""
+    if x.ndim < 2 or x.size == 0:
         return x
+    orig_shape = x.shape
+    shape = list(x.shape)
+    while len(shape) > 2 and shape[-1] < 128:
+        shape[-2] *= shape[-1]
+        shape.pop()
+    xr = x.reshape(shape)
     itemsize = np.dtype(x.dtype).itemsize
-    n_whole = 2
-    size = x.shape[-1] * x.shape[-2] * itemsize
-    while (n_whole < x.ndim
-           and size * x.shape[-(n_whole + 1)] <= VMEM_BLOCK_BUDGET):
-        size *= x.shape[-(n_whole + 1)]
-        n_whole += 1
-    lead = x.shape[:-n_whole]
-    block = tuple(1 for _ in lead) + x.shape[-n_whole:]
-    grid = lead
-    if not grid:
-        return pl.pallas_call(
-            _copy_kernel, interpret=_interpret(),
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
-    idx = lambda *g: g + (0,) * n_whole  # noqa: E731
-    return pl.pallas_call(
+    sublane = max(32 // itemsize, 1)
+    pad_last = -(-shape[-1] // 128) * 128
+
+    def padded_bytes(rows: int) -> int:
+        return pad_last * (-(-rows // sublane) * sublane) * itemsize
+
+    if padded_bytes(shape[-2]) > VMEM_BLOCK_BUDGET:
+        # split the second-minor dim into sublane-aligned row chunks
+        rows = max((VMEM_BLOCK_BUDGET // padded_bytes(sublane)) * sublane,
+                   sublane)
+        n_chunks = -(-shape[-2] // rows)
+        lead = tuple(shape[:-2])
+        block = tuple(1 for _ in lead) + (rows, shape[-1])
+        grid = lead + (n_chunks,)
+        nl = len(lead)
+        idx = lambda *g: g[:nl] + (g[nl], 0)  # noqa: E731
+    else:
+        n_whole = 2
+        size = padded_bytes(shape[-2])
+        while (n_whole < len(shape)
+               and size * shape[-(n_whole + 1)] <= VMEM_BLOCK_BUDGET):
+            size *= shape[-(n_whole + 1)]
+            n_whole += 1
+        lead = tuple(shape[:-n_whole])
+        block = tuple(1 for _ in lead) + tuple(shape[-n_whole:])
+        grid = lead
+        if not grid:
+            out = pl.pallas_call(
+                _copy_kernel, interpret=_interpret(),
+                out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype))(xr)
+            return out.reshape(orig_shape)
+        idx = lambda *g: g + (0,) * n_whole  # noqa: E731
+    out = pl.pallas_call(
         _copy_kernel, interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec(block, idx)],
-        out_specs=pl.BlockSpec(block, idx))(x)
+        out_specs=pl.BlockSpec(block, idx))(xr)
+    return out.reshape(orig_shape)
 
 
 @jax.custom_vjp

@@ -156,7 +156,11 @@ void radius_neighbors(const float* queries, int64_t n_q,
         if (dims[d] < 1) dims[d] = 1;
     }
     int64_t n_cells = dims[0] * dims[1] * dims[2];
-    if (n_cells > 4 * n_s + 1024) {  // sparse/pathological spread
+    // The start[] array costs 4 bytes/cell, so generously empty grids are
+    // still cheap (an NFI plot at the level-0 search radius is ~150k cells
+    // for ~6k points = 600 KB — well worth the contiguous scans). Fall back
+    // only when the spread is truly pathological or unbounded.
+    if (n_cells > 32 * n_s + (1 << 20) || n_cells > (1 << 23)) {
         radius_neighbors_hash(queries, n_q, supports, n_s, radius, max_k,
                               out);
         return;
@@ -181,6 +185,15 @@ void radius_neighbors(const float* queries, int64_t n_q,
         for (int64_t i = 0; i < n_s; ++i)
             ids[(size_t)cursor[(size_t)cell_of_pt[(size_t)i]]++] = (int32_t)i;
     }
+    // gather coords into cell-sorted order so the scan below runs over
+    // CONTIGUOUS xyz triples (no ids[] indirection in the hot loop)
+    std::vector<float> sorted_pts((size_t)n_s * 3);
+    for (int64_t t = 0; t < n_s; ++t) {
+        const float* p = supports + 3 * (int64_t)ids[(size_t)t];
+        sorted_pts[(size_t)t * 3] = p[0];
+        sorted_pts[(size_t)t * 3 + 1] = p[1];
+        sorted_pts[(size_t)t * 3 + 2] = p[2];
+    }
     const float r2 = radius * radius;
     std::vector<std::pair<float, int32_t>> cand;
     cand.reserve(256);
@@ -201,12 +214,11 @@ void radius_neighbors(const float* queries, int64_t n_q,
                     int32_t a = start[(size_t)c0];
                     int32_t b = start[(size_t)(c0 + (z1 - z0) + 1)];
                     for (int32_t t = a; t < b; ++t) {
-                        int32_t s = ids[(size_t)t];
-                        const float* sp = supports + 3 * s;
+                        const float* sp = &sorted_pts[(size_t)t * 3];
                         float d0 = qp[0] - sp[0], d1 = qp[1] - sp[1],
                               d2 = qp[2] - sp[2];
                         float d = d0 * d0 + d1 * d1 + d2 * d2;
-                        if (d < r2) cand.emplace_back(d, s);
+                        if (d < r2) cand.emplace_back(d, ids[(size_t)t]);
                     }
                 }
         }
