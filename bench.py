@@ -42,7 +42,9 @@ def main():
     # bs16 on one v5e (16 GB HBM): the dense stem's pooling backward needs a
     # full-resolution gradient volume, which bounds the single-chip batch;
     # the paper's bs32 runs as 2x bs16 gradient accumulation or 2-chip DP.
-    bs, n_voxels = 16, 16000
+    # (sparse level 0 — DPCR_L0=sparse — frees those volumes; DPCR_BENCH_BS
+    # sweeps the batch.)
+    bs, n_voxels = int(os.environ.get("DPCR_BENCH_BS", 16)), 16000
     net = _flagship()
     spec = InstanceSpec(
         num_reg_targets=2, scale=np.array([50.0, 80.0], np.float32),

@@ -66,15 +66,33 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, nbr_idx: Optional[jnp.ndarray] = None,
-                 dense_occ: Optional[jnp.ndarray] = None, stride: int = 1):
-        """Two execution modes over the SAME parameters:
+                 dense_occ: Optional[jnp.ndarray] = None, stride: int = 1,
+                 sites: Optional[tuple] = None):
+        """Three execution modes over the SAME parameters:
         * map mode: x [B,V_in,C], nbr_idx [B,K,V_out] (None = pointwise)
         * dense mode: x [B,D,H,W,C], dense_occ = output occupancy volume
           (ops/dense_grid.py — MXU 3D convolution, the TPU fast path)
+        * sites mode: x [B,V,C] rows + sites=(coords [B,V,3], mask [B,V],
+          dims) — ops/sparse_stem.py patch-gather conv evaluated only at
+          occupied sites (the level-0 fast path; ~2% occupancy makes the
+          dense conv ~50x redundant there)
         """
         cin = x.shape[-1]
         kernel = self.param("kernel", trunc_normal(0.02),
                             (self.kernel_volume, cin, self.features))
+        if sites is not None:
+            from ..ops.sparse_stem import stem_conv_sparse_batch
+            coords, mask, dims = sites
+            k = round(self.kernel_volume ** (1.0 / 3.0))
+            y = stem_conv_sparse_batch(
+                coords, mask, x.astype(self.dtype), dims,
+                kernel.astype(self.dtype), k, compute_dtype=self.dtype)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,))
+                y = (y + bias.astype(y.dtype)) * sites[1][..., None].astype(
+                    y.dtype)
+            return y
         if dense_occ is not None:
             from ..ops.dense_grid import dense_conv
             k = round(self.kernel_volume ** (1.0 / 3.0))
@@ -368,8 +386,8 @@ class SparseResNet(nn.Module):
         whose LENGTH is the batch's z-extent bucket), the volume's z dim
         shrinks to it — the stem cost scales with z, and jit re-specializes
         per bucket (a handful of compiles)."""
-        from ..ops.dense_grid import (dense_max_pool, occupancy_pool,
-                                      scatter_to_dense)
+        from ..ops.dense_grid import (L0_MODE, dense_max_pool, level_dims,
+                                      occupancy_pool, scatter_to_dense)
         coords, mask = batch.coords, batch.mask
         dims = tuple(self.dense_dims)
         if isinstance(batch.aux, dict) and "zcells" in batch.aux:
@@ -388,19 +406,49 @@ class SparseResNet(nn.Module):
                 use_running_average=not train)
             return y2.reshape(y.shape[:-1] + (width,))
 
-        # ---- stem (rematerialized: the full-resolution activation is the
-        # biggest tensor in the program; recompute it in the backward) ----
-        if self.first_stride == 1:
-            occ_stem = occ
+        # ---- stem ----
+        if L0_MODE == "sparse" and self.first_stride == 1:
+            # sparse level 0 (ops/sparse_stem.py): stem conv + BN + act +
+            # maxpool on occupied ROWS only; densify at level 1 where
+            # occupancy is ~8x higher. Removes the program's two largest
+            # tensors (the full-res stem activation and the pool's
+            # select_and_scatter backward volume).
+            from ..ops.sparse_stem import (max_pool_sparse,
+                                           pool_neighbor_map_batch)
+            h_rows = SparseConv(
+                self.init_dim, 343, self.use_bias, dtype=self.dtype,
+                name="stem_conv")(feats, sites=(coords, mask, dims))
+            h_rows = make_norm(self.norm_type, self.init_dim,
+                               self.bn_momentum, self.bn_axis_name,
+                               name="stem_norm")(
+                h_rows, mask, use_running_average=not train)
+            h_rows = act(h_rows) * mask[..., None].astype(h_rows.dtype)
+            grid0 = jax.vmap(build_grid)(coords, mask)
+            v_cap = coords.shape[1]
+            grid1 = jax.vmap(lambda g: downsample(g, None, 2, v_cap)[0])(
+                grid0)
+            nbr = pool_neighbor_map_batch(coords, mask, grid1.coords,
+                                          grid1.mask, dims)
+            h_rows = max_pool_sparse(h_rows, nbr, grid1.mask)
+            dims1 = level_dims(dims, 1)
+            h, occ_l = jax.vmap(
+                lambda c, m, f: scatter_to_dense(c, m, f, dims1))(
+                grid1.coords, grid1.mask, h_rows)
         else:
-            occ_stem = occupancy_pool(occ)
-        RematConv = nn.remat(SparseConv, static_argnums=(4,))
-        h = RematConv(self.init_dim, 343, self.use_bias, dtype=self.dtype,
-                      name="stem_conv")(h, None, occ_stem, self.first_stride)
-        h = norm_flat(h, occ_stem, self.init_dim, "stem_norm")
-        h = act(h) * occ_stem.astype(h.dtype)  # keep compute dtype (bf16)
-        occ_l = occupancy_pool(occ_stem)
-        h = dense_max_pool(h, occ_stem, occ_l)
+            # dense level 0 (rematerialized: the full-resolution activation
+            # is the biggest tensor in the program; recompute in backward)
+            if self.first_stride == 1:
+                occ_stem = occ
+            else:
+                occ_stem = occupancy_pool(occ)
+            RematConv = nn.remat(SparseConv, static_argnums=(4,))
+            h = RematConv(self.init_dim, 343, self.use_bias,
+                          dtype=self.dtype, name="stem_conv")(
+                h, None, occ_stem, self.first_stride)
+            h = norm_flat(h, occ_stem, self.init_dim, "stem_norm")
+            h = act(h) * occ_stem.astype(h.dtype)  # keep compute dtype
+            occ_l = occupancy_pool(occ_stem)
+            h = dense_max_pool(h, occ_stem, occ_l)
 
         # ---- stages (rematted blocks bound activation memory) ----
         RematBlock = nn.remat(ResBlock, static_argnums=(7, 8))

@@ -37,6 +37,11 @@ NEG_INF = -1e30
 #   DPCR_POOL_BWD:  "xla" (default: select_and_scatter) | "manual"
 STEM_MODE = os.environ.get("DPCR_STEM_MODE", "xla3d")
 POOL_BWD_MODE = os.environ.get("DPCR_POOL_BWD", "xla")
+# DPCR_L0: "dense" (default — full-volume stem conv + select_and_scatter
+# pool) or "sparse" (ops/sparse_stem.py rows-only level 0). First TPU bench
+# of sparse measured 22.7 vs 56.3 plots/s (bs16) — opt-in until the
+# row-gather/sort costs are beaten down (exp_sparse_l0_breakdown.py).
+L0_MODE = os.environ.get("DPCR_L0", "dense")
 
 # D-fold reformulation of tiny-Cin convs (the k7 Cin<=4 stem). Microbenched
 # in isolation it crushes XLA's 3D conv emitter (fwd 140->71 ms, dw

@@ -1,0 +1,183 @@
+"""Sparse level-0 execution: compute the stem conv + first maxpool ONLY at
+occupied voxels, with dense volumes used purely as gather storage.
+
+Motivation (round-2 sweep, docs/experiments/round2/README.md): the dense
+k7 stem conv over the full 88x88x80 volume is the training step's dominant
+op (~140 ms of 284 ms at bs16) yet the NFI occupancy at level 0 is ~2% —
+and MinkowskiConvolution semantics (reference SENet.py stem,
+MinkowskiEngine docs) only ever NEED outputs at occupied sites (the
+dense path multiplies by `occ_out` right after the conv). Every XLA-level
+reformulation of the dense conv lost in-model (z-fold, firewalled fold,
+manual pool backward — all measured slower or OOM), so this module stops
+paying for empty sites instead:
+
+  1. scatter features to the dense [B,D,H,W,Cin] volume (tiny: Cin=3)
+  2. z-fold it by shifted SLICES into [B,D+2p,H+2p,W,k*Cin] — the k z-taps
+     become channels; slicing is pure bandwidth on a small tensor
+  3. ONE batch-flattened row gather: for each occupied voxel, the k^2
+     (dx,dy) rows of the folded volume form the full k^3 patch
+     -> [B,V,k^3*Cin]
+  4. ONE MXU matmul [B*V, k^3*Cin] @ [k^3*Cin, Cout]
+
+Empty cells hold zeros, which IS the conv semantics for missing
+neighbors; dense-path parity is test-asserted (tests/test_sparse_stem.py).
+
+GATHER SHAPE MATTERS (measured on v5e): a vmapped per-sample
+`jnp.take(table_s, idx_s)` runs ~25 ns/row (313 ms for the bs16 stem
+patch gather); the SAME gather as one 2D row-gather over the
+batch-flattened table (models/kpconv.py `_batched_rows` trick, flat int32
+indices) is row-count-bound at ~2 ns/row. Every gather in this module is
+batch-flattened for that reason.
+
+The first maxpool (kernel 3, stride 2 — Minkowski MaxPool semantics as in
+ops/dense_grid.dense_max_pool) pools rows the same way: a dense int32
+row-index volume is z-folded and gathered at the 3^2 (dx,dy) offsets of
+each level-1 site, giving a [B,V1,27] neighbor map consumed by
+max_pool_sparse. Its backward is the gather's scatter-add — the
+select_and_scatter volume backward disappears together with the dense
+stem activation (the program's two largest tensors).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def batched_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table [R,C], idx [...] flat int32 -> [..., C]: the TPU-fast flat
+    2D row gather (see module docstring)."""
+    return table[idx.reshape(-1)].reshape(*idx.shape, table.shape[-1])
+
+
+def _fold_z(vol: jnp.ndarray, k: int, pad_value=0) -> jnp.ndarray:
+    """[B,D,H,W,C] -> [B,D+2p,H+2p,W,k*C]: pad all spatial dims by p, then
+    turn the k z(=W)-taps into channels (z fastest, matching the hypercube
+    offset order of ops/voxel.hypercube_offsets)."""
+    p = k // 2
+    w = vol.shape[3]
+    xp = jnp.pad(vol, ((0, 0), (p, p), (p, p), (p, p), (0, 0)),
+                 constant_values=pad_value)
+    return jnp.concatenate([xp[:, :, :, i:i + w] for i in range(k)], axis=-1)
+
+
+def _patch_indices(coords: jnp.ndarray, dims: Sequence[int], k: int,
+                   ) -> jnp.ndarray:
+    """Flat row indices [B,V,k*k] into the batch-flattened z-folded volume
+    ([B,D+2p,H+2p,W,kC] -> [(B*(D+2p)*(H+2p)*W), kC]) covering the k^2
+    (dx,dy) taps per site. coords must be pre-clipped to the volume."""
+    d, h, w = dims
+    p = k // 2
+    hp = h + 2 * p
+    b = coords.shape[0]
+    base = (coords[..., 0] * hp + coords[..., 1]) * w + coords[..., 2]
+    base = base + (jnp.arange(b, dtype=base.dtype)
+                   * ((d + 2 * p) * hp * w))[:, None]
+    dx, dy = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+    off = (dx.ravel() * hp + dy.ravel()) * w                    # [k*k]
+    return base[:, :, None] + jnp.asarray(off, base.dtype)[None, None, :]
+
+
+def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
+                           feats: jnp.ndarray, dims: Sequence[int],
+                           weights: jnp.ndarray, kernel_size: int,
+                           compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Sparse-site stem conv for a whole batch: same math as
+    ops/dense_grid.dense_conv followed by gather_from_dense at `coords`
+    (stride 1). coords [B,V,3] int32, mask [B,V], feats [B,V,Cin];
+    weights [K^3,Cin,Cout] in hypercube order (z fastest).
+    Returns [B,V,Cout] in compute_dtype (MXU f32 accumulate -> cast,
+    mirroring dense_conv)."""
+    from .dense_grid import scatter_to_dense
+    k = kernel_size
+    cin, cout = weights.shape[-2], weights.shape[-1]
+    d, h, w = dims
+    b, v = mask.shape
+    dense, _ = jax.vmap(
+        lambda c, m, f: scatter_to_dense(c, m, f, dims))(
+        coords, mask, feats.astype(compute_dtype))
+    folded = _fold_z(dense, k)
+    flat = folded.reshape(-1, k * cin)
+    cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    idx = _patch_indices(cc, dims, k)                           # [B,V,k²]
+    rows = batched_rows(flat, idx)                              # [B,V,k²,kC]
+    patches = rows.reshape(b * v, k * k * k * cin)
+    wf = weights.reshape(k * k * k * cin, cout).astype(patches.dtype)
+    y = jnp.dot(patches, wf,
+                preferred_element_type=jnp.float32).reshape(b, v, cout)
+    return jnp.where(mask[..., None], y, 0.0).astype(compute_dtype)
+
+
+def pool_neighbor_map_batch(coords0: jnp.ndarray, mask0: jnp.ndarray,
+                            coords1: jnp.ndarray, mask1: jnp.ndarray,
+                            dims: Sequence[int]) -> jnp.ndarray:
+    """[B,V1,27] LOCAL row indices into each sample's level-0 rows for the
+    Minkowski MaxPool (kernel 3, stride 2) window around 2*u; V0 = shadow.
+
+    Built from a dense int32 row-index volume (z-folded like the stem):
+    one flat scatter + one batch-flattened [B,V1,9]-row gather — no
+    per-offset searchsorted."""
+    d, h, w = dims
+    b, v0 = mask0.shape
+    s = d * h * w
+    cc = jnp.clip(coords0, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    flat_idx = (cc[..., 0] * h + cc[..., 1]) * w + cc[..., 2]
+    gidx = flat_idx + (jnp.arange(b, dtype=flat_idx.dtype) * s)[:, None]
+    gidx = jnp.where(mask0, gidx, b * s)                        # dump slot
+    row_of = jnp.full((b * s + 1,), v0, jnp.int32)
+    local = jnp.broadcast_to(jnp.arange(v0, dtype=jnp.int32)[None], (b, v0))
+    row_of = row_of.at[gidx.reshape(-1)].set(local.reshape(-1), mode="drop")
+    vol = row_of[: b * s].reshape(b, d, h, w, 1)
+    folded = _fold_z(vol, 3, pad_value=v0)                      # [..., 3]
+    flat = folded.reshape(-1, 3)
+    c1 = jnp.clip(coords1 * 2, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    idx = _patch_indices(c1, dims, 3)                           # [B,V1,9]
+    rows = batched_rows(flat, idx)                              # [B,V1,9,3]
+    nbr = rows.reshape(b, coords1.shape[1], 27)
+    return jnp.where(mask1[..., None], nbr, v0)
+
+
+def max_pool_sparse(h_rows: jnp.ndarray, nbr: jnp.ndarray,
+                    mask1: jnp.ndarray) -> jnp.ndarray:
+    """Masked max over gathered level-0 rows: h_rows [B,V,C], nbr [B,V1,27]
+    local indices (V = shadow) -> [B,V1,C]. Shadow rows contribute -inf;
+    sites with no real neighbor (can't happen for true L1 sites) and
+    masked rows return 0. Backward is the gather's scatter-add."""
+    b, v, c = h_rows.shape
+    padded = jnp.concatenate(
+        [h_rows, jnp.full((b, 1, c), -jnp.inf, h_rows.dtype)], axis=1)
+    flat = padded.reshape(b * (v + 1), c)
+    idx = nbr + (jnp.arange(b, dtype=nbr.dtype) * (v + 1))[:, None, None]
+    g = batched_rows(flat, idx)                                 # [B,V1,27,C]
+    out = jnp.max(g, axis=2)
+    any_real = jnp.any(nbr < v, axis=-1)
+    return jnp.where((any_real & mask1)[..., None], out, 0.0)
+
+
+# ---- per-sample wrappers (parity-test surface) -----------------------------
+
+def stem_conv_sparse(coords: jnp.ndarray, mask: jnp.ndarray,
+                     feats: jnp.ndarray, dims: Sequence[int],
+                     weights: jnp.ndarray, kernel_size: int,
+                     stride: int = 1,
+                     compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Single-sample stem_conv_sparse_batch (tests; the model uses the
+    batched form directly)."""
+    if stride != 1:
+        raise NotImplementedError("sparse stem supports stride 1 "
+                                  "(NFI presets); dense path covers "
+                                  "first_stride=2 archs")
+    return stem_conv_sparse_batch(coords[None], mask[None], feats[None],
+                                  dims, weights, kernel_size,
+                                  compute_dtype)[0]
+
+
+def pool_neighbor_map(coords0: jnp.ndarray, mask0: jnp.ndarray,
+                      coords1: jnp.ndarray, mask1: jnp.ndarray,
+                      dims: Sequence[int]) -> jnp.ndarray:
+    """Single-sample pool map in ops/voxel.max_pool_apply layout [27, V1]."""
+    nbr = pool_neighbor_map_batch(coords0[None], mask0[None],
+                                  coords1[None], mask1[None], dims)[0]
+    return jnp.swapaxes(nbr, 0, 1)

@@ -1,0 +1,226 @@
+"""Parity: sparse level-0 stem/pool (ops/sparse_stem.py) vs the dense-grid
+execution (ops/dense_grid.py) they replace. Semantics under test are the
+MinkowskiEngine stem behaviors the dense path already oracle-matches
+(reference SENet.py:14-118 stem + MinkowskiMaxPooling)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpcr_agb_tpu.ops.dense_grid import (dense_conv, dense_max_pool,
+                                         gather_from_dense, occupancy_pool,
+                                         scatter_to_dense)
+from dpcr_agb_tpu.ops.sparse_stem import (pool_neighbor_map,
+                                          stem_conv_sparse)
+from dpcr_agb_tpu.ops.voxel import (build_grid, downsample, max_pool_apply)
+
+
+def _random_sites(rng, dims, n_occ, v_cap):
+    d, h, w = dims
+    flat = rng.choice(d * h * w, size=n_occ, replace=False)
+    coords = np.stack([flat // (h * w), (flat // w) % h, flat % w], 1)
+    out = np.zeros((v_cap, 3), np.int32)
+    out[:n_occ] = coords
+    mask = np.arange(v_cap) < n_occ
+    # park invalid rows at a coord that's also occupied sometimes (row 0)
+    out[~mask] = coords[0]
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("k,cin,cout", [(7, 3, 16), (3, 4, 8), (5, 1, 4)])
+def test_sparse_stem_matches_dense_conv(k, cin, cout):
+    rng = np.random.default_rng(0)
+    dims = (12, 11, 9)
+    coords, mask = _random_sites(rng, dims, 37, 48)
+    feats = jnp.asarray(rng.normal(size=(48, cin)), jnp.float32)
+    feats = jnp.where(mask[:, None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(k ** 3, cin, cout)) * 0.1, jnp.float32)
+
+    dense, occ = scatter_to_dense(coords, mask, feats, dims)
+    y_dense = dense_conv(dense[None], occ[None], w, k)[0]
+    want = gather_from_dense(y_dense, coords, mask)
+
+    got = stem_conv_sparse(coords, mask, feats, dims, w, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_stem_bf16_close():
+    rng = np.random.default_rng(1)
+    dims = (10, 10, 8)
+    coords, mask = _random_sites(rng, dims, 25, 32)
+    feats = jnp.asarray(rng.normal(size=(32, 3)), jnp.bfloat16)
+    feats = jnp.where(mask[:, None], feats, 0)
+    w = jnp.asarray(rng.normal(size=(343, 3, 8)) * 0.1, jnp.bfloat16)
+    dense, occ = scatter_to_dense(coords, mask, feats, dims)
+    want = gather_from_dense(
+        dense_conv(dense[None], occ[None], w, 7,
+                   compute_dtype=jnp.bfloat16)[0], coords, mask)
+    got = stem_conv_sparse(coords, mask, feats, dims, w, 7,
+                           compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_sparse_pool_matches_dense_max_pool():
+    rng = np.random.default_rng(2)
+    dims = (12, 10, 8)
+    coords, mask = _random_sites(rng, dims, 41, 64)
+    feats = jnp.asarray(rng.normal(size=(64, 6)), jnp.float32)
+    feats = jnp.where(mask[:, None], feats, 0.0)
+
+    # dense reference
+    dense, occ = scatter_to_dense(coords, mask, feats, dims)
+    occ1 = occupancy_pool(occ[None])[0]
+    pooled_dense = dense_max_pool(dense[None], occ[None], occ1[None])[0]
+
+    # sparse: L1 grid from downsample, then the gathered-row pool
+    grid0 = build_grid(coords, mask)
+    grid1, _ = downsample(grid0, None, 2, 64)
+    nbr = pool_neighbor_map(coords, mask, grid1.coords, grid1.mask, dims)
+    got = max_pool_apply(feats, nbr, grid1.mask)
+
+    d1 = tuple(-(-x // 2) for x in dims)
+    want = gather_from_dense(pooled_dense, grid1.coords, grid1.mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # L1 occupancy parity: every occupied L1 site in the dense volume is a
+    # row in grid1 and vice versa
+    assert int(grid1.mask.sum()) == int(occ1.sum())
+
+
+def test_sparse_stem_empty_sample():
+    dims = (8, 8, 8)
+    coords = jnp.zeros((16, 3), jnp.int32)
+    mask = jnp.zeros((16,), bool)
+    feats = jnp.zeros((16, 3), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(3).normal(size=(343, 3, 4)),
+                    jnp.float32)
+    y = stem_conv_sparse(coords, mask, feats, dims, w, 7)
+    assert not np.any(np.asarray(y))
+    grid0 = build_grid(coords, mask)
+    grid1, _ = downsample(grid0, None, 2, 16)
+    nbr = pool_neighbor_map(coords, mask, grid1.coords, grid1.mask, dims)
+    pooled = max_pool_apply(feats, nbr, grid1.mask)
+    assert not np.any(np.asarray(pooled))
+
+
+def test_sparse_stem_grad_dw_matches_dense():
+    """dW through the sparse patches == dW through the dense conv at
+    occupied sites (the only sites whose cotangents are nonzero)."""
+    rng = np.random.default_rng(4)
+    dims = (9, 9, 7)
+    coords, mask = _random_sites(rng, dims, 21, 32)
+    feats = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    feats = jnp.where(mask[:, None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(27, 3, 5)) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(32, 5)), jnp.float32)
+    ct = jnp.where(mask[:, None], ct, 0.0)
+
+    def loss_sparse(wi):
+        return jnp.sum(stem_conv_sparse(coords, mask, feats, dims, wi, 3)
+                       * ct)
+
+    def loss_dense(wi):
+        dense, occ = scatter_to_dense(coords, mask, feats, dims)
+        y = dense_conv(dense[None], occ[None], wi, 3)[0]
+        return jnp.sum(gather_from_dense(y, coords, mask) * ct)
+
+    g_s = jax.grad(loss_sparse)(w)
+    g_d = jax.grad(loss_dense)(w)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                               rtol=1e-4, atol=1e-4)
+
+
+class TestWholeModelParity:
+    """SENet14 dense execution: sparse-L0 vs dense-L0 produce the same
+    predictions and gradients from shared parameters."""
+
+    def _batch(self, rng, bs=2, n=96):
+        from dpcr_agb_tpu.data.batch import Batch
+        coords = np.zeros((bs, n, 3), np.int32)
+        mask = np.zeros((bs, n), bool)
+        for b in range(bs):
+            nv = n - 8 - 11 * b
+            d, h, w = 16, 16, 16
+            flat = rng.choice(d * h * w, size=nv, replace=False)
+            c = np.stack([flat // (h * w), (flat // w) % h, flat % w], 1)
+            coords[b, :nv] = c
+            mask[b, :nv] = True
+        x = rng.normal(size=(bs, n, 2)).astype(np.float32)
+        x[~mask] = 0
+        return Batch(pos=jnp.zeros((bs, n, 3)), x=jnp.asarray(x),
+                     mask=jnp.asarray(mask),
+                     y_reg=jnp.zeros((bs, 2)),
+                     y_reg_mask=jnp.ones((bs, 2), bool),
+                     area_idx=jnp.zeros(bs, jnp.int32),
+                     label_idx=jnp.arange(bs, dtype=jnp.int64),
+                     is_double=jnp.zeros(bs, bool),
+                     coords=jnp.asarray(coords))
+
+    def test_sparse_l0_matches_dense_l0(self, monkeypatch):
+        from dpcr_agb_tpu.models.minkowski import build_resnet
+        from dpcr_agb_tpu.ops import dense_grid
+
+        class _DS:
+            num_reg_classes = 2
+        net = build_resnet("SENet14", {
+            "activation": "gelu", "first_stride": 1, "global_pool": "sum",
+            "drop_path": 0.0,
+            "extra_options": {"dense_dims": [16, 16, 16]}}, _DS(), None)
+        rng = np.random.default_rng(7)
+        b = self._batch(rng)
+
+        monkeypatch.setattr(dense_grid, "L0_MODE", "dense")
+        variables = net.init(jax.random.PRNGKey(0), b, train=False)
+        out_dense = net.apply(variables, b, train=False)
+
+        def loss_d(p):
+            return jnp.sum(net.apply(
+                {**variables, "params": p}, b, train=False) ** 2)
+        g_dense = jax.grad(loss_d)(variables["params"])
+
+        monkeypatch.setattr(dense_grid, "L0_MODE", "sparse")
+        out_sparse = net.apply(variables, b, train=False)
+        g_sparse = jax.grad(loss_d)(variables["params"])
+
+        np.testing.assert_allclose(np.asarray(out_sparse),
+                                   np.asarray(out_dense),
+                                   rtol=1e-4, atol=1e-4)
+        def _cmp(path, gd, gs):
+            np.testing.assert_allclose(
+                np.asarray(gs), np.asarray(gd), rtol=5e-3, atol=1e-4,
+                err_msg=jax.tree_util.keystr(path))
+        jax.tree_util.tree_map_with_path(_cmp, g_dense, g_sparse)
+
+    def test_bn_stats_match(self, monkeypatch):
+        """Train-mode batch_stats from the sparse-L0 stem norm equal the
+        dense-L0 ones (same occupied-site statistics)."""
+        from dpcr_agb_tpu.models.minkowski import build_resnet
+        from dpcr_agb_tpu.ops import dense_grid
+
+        class _DS:
+            num_reg_classes = 1
+        net = build_resnet("SENet14", {
+            "activation": "gelu", "first_stride": 1, "global_pool": "sum",
+            "drop_path": 0.0,
+            "extra_options": {"dense_dims": [16, 16, 16]}}, _DS(), None)
+        rng = np.random.default_rng(9)
+        b = self._batch(rng)
+        monkeypatch.setattr(dense_grid, "L0_MODE", "dense")
+        variables = net.init({"params": jax.random.PRNGKey(0),
+                              "dropout": jax.random.PRNGKey(1)}, b,
+                             train=False)
+        _, mut_d = net.apply(variables, b, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+        monkeypatch.setattr(dense_grid, "L0_MODE", "sparse")
+        _, mut_s = net.apply(variables, b, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+        sd = mut_d["batch_stats"]["stem_norm"]
+        ss = mut_s["batch_stats"]["stem_norm"]
+        for k in sd:
+            np.testing.assert_allclose(np.asarray(ss[k]), np.asarray(sd[k]),
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
