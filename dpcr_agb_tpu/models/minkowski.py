@@ -413,6 +413,7 @@ class SparseResNet(nn.Module):
             # occupancy is ~8x higher. Removes the program's two largest
             # tensors (the full-res stem activation and the pool's
             # select_and_scatter backward volume).
+            from ..ops.dense_grid import SPARSE_POOL_MODE
             from ..ops.sparse_stem import (max_pool_sparse,
                                            pool_neighbor_map_batch)
             h_rows = SparseConv(
@@ -423,17 +424,27 @@ class SparseResNet(nn.Module):
                                name="stem_norm")(
                 h_rows, mask, use_running_average=not train)
             h_rows = act(h_rows) * mask[..., None].astype(h_rows.dtype)
-            grid0 = jax.vmap(build_grid)(coords, mask)
-            v_cap = coords.shape[1]
-            grid1 = jax.vmap(lambda g: downsample(g, None, 2, v_cap)[0])(
-                grid0)
-            nbr = pool_neighbor_map_batch(coords, mask, grid1.coords,
-                                          grid1.mask, dims)
-            h_rows = max_pool_sparse(h_rows, nbr, grid1.mask)
-            dims1 = level_dims(dims, 1)
-            h, occ_l = jax.vmap(
-                lambda c, m, f: scatter_to_dense(c, m, f, dims1))(
-                grid1.coords, grid1.mask, h_rows)
+            if SPARSE_POOL_MODE == "dense":
+                # scatter the (BN'd, activated) rows back to the full-res
+                # volume and pool densely: the dense pool fwd+bwd measured
+                # cheaper than 27-row gathers + scatter-add backward
+                hv, occ_v = jax.vmap(
+                    lambda c, m, f: scatter_to_dense(c, m, f, dims))(
+                    coords, mask, h_rows)
+                occ_l = occupancy_pool(occ_v)
+                h = dense_max_pool(hv, occ_v, occ_l)
+            else:
+                grid0 = jax.vmap(build_grid)(coords, mask)
+                v_cap = coords.shape[1]
+                grid1 = jax.vmap(
+                    lambda g: downsample(g, None, 2, v_cap)[0])(grid0)
+                nbr = pool_neighbor_map_batch(coords, mask, grid1.coords,
+                                              grid1.mask, dims)
+                h_rows = max_pool_sparse(h_rows, nbr, grid1.mask)
+                dims1 = level_dims(dims, 1)
+                h, occ_l = jax.vmap(
+                    lambda c, m, f: scatter_to_dense(c, m, f, dims1))(
+                    grid1.coords, grid1.mask, h_rows)
         else:
             # dense level 0 (rematerialized: the full-resolution activation
             # is the biggest tensor in the program; recompute in backward)

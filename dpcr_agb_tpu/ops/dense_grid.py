@@ -42,6 +42,11 @@ POOL_BWD_MODE = os.environ.get("DPCR_POOL_BWD", "xla")
 # of sparse measured 22.7 vs 56.3 plots/s (bs16) — opt-in until the
 # row-gather/sort costs are beaten down (exp_sparse_l0_breakdown.py).
 L0_MODE = os.environ.get("DPCR_L0", "dense")
+# DPCR_SPARSE_POOL (sparse L0 only): "rows" (27-row gather + scatter-add
+# backward) or "dense" (scatter rows to the volume, reduce_window pool —
+# measured cheaper: 23 ms fwd + bounded select_and_scatter backward vs
+# ~170 ms for the row form at bs16)
+SPARSE_POOL_MODE = os.environ.get("DPCR_SPARSE_POOL", "dense")
 
 # D-fold reformulation of tiny-Cin convs (the k7 Cin<=4 stem). Microbenched
 # in isolation it crushes XLA's 3D conv emitter (fwd 140->71 ms, dw

@@ -39,6 +39,7 @@ stem activation (the program's two largest tensors).
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -61,6 +62,69 @@ def _fold_z(vol: jnp.ndarray, k: int, pad_value=0) -> jnp.ndarray:
     xp = jnp.pad(vol, ((0, 0), (p, p), (p, p), (p, p), (0, 0)),
                  constant_values=pad_value)
     return jnp.concatenate([xp[:, :, :, i:i + w] for i in range(k)], axis=-1)
+
+
+# HBM row gathers cost a flat ~7-9 ns/ROW on v5e regardless of row width
+# (docs/experiments/round2/exp_gather_scaling.py), so the patch gather is
+# engineered for MINIMUM ROW COUNT: fold z fully AND y in groups of `g`
+# into channels, so each site needs only k * ceil(k/g) gathered rows
+# (g=k: 7 rows of 294 B vs 49 rows of 42 B — 7x fewer rows for the same
+# bytes). The folded table costs B*(D+2p)*H2*W*g*k*C bytes of transient
+# HBM; _pick_group picks the largest g under this budget.
+FOLD_BYTES_BUDGET = int(os.environ.get("DPCR_FOLD_BYTES", 2_500_000_000))
+
+
+def _pick_group(k: int, cin: int, dims, b: int, itemsize: int) -> int:
+    d, h, w = dims
+    p = k // 2
+    for g in range(k, 0, -1):
+        h2 = h + 2 * p - (g - 1)
+        nbytes = b * (d + 2 * p) * h2 * w * g * k * cin * itemsize
+        if nbytes <= FOLD_BYTES_BUDGET:
+            return g
+    return 1
+
+
+def _fold_zy(vol: jnp.ndarray, k: int, g: int, pad_value=0) -> jnp.ndarray:
+    """z-fold then fold g consecutive y-taps into channels:
+    out[a, b, w, (dy*k + dz)*C + c] = xpad[a-p? ...] — concretely
+    out[a, b, w] covers y-taps dy in [0, g) relative to row b of the
+    z-folded tensor. Shape [B, D+2p, H+2p-(g-1), W, g*k*C]."""
+    t = _fold_z(vol, k, pad_value)
+    if g == 1:
+        return t
+    h2 = t.shape[2] - (g - 1)
+    return jnp.concatenate([t[:, :, dy:dy + h2] for dy in range(g)], axis=-1)
+
+
+def _patch_indices_grouped(coords: jnp.ndarray, dims, k: int, g: int,
+                           ) -> jnp.ndarray:
+    """Flat row indices [B,V, k*ceil(k/g)] into the batch-flattened zy-folded
+    table for the (dx, y-group) taps per site. coords pre-clipped."""
+    d, h, w = dims
+    p = k // 2
+    n_g = -(-k // g)
+    h2 = h + 2 * p - (g - 1)
+    b = coords.shape[0]
+    base = (coords[..., 0] * h2 + coords[..., 1]) * w + coords[..., 2]
+    base = base + (jnp.arange(b, dtype=base.dtype)
+                   * ((d + 2 * p) * h2 * w))[:, None]
+    dx, j = np.meshgrid(np.arange(k), np.arange(n_g), indexing="ij")
+    off = (dx.ravel() * h2 + j.ravel() * g) * w              # [k*n_g]
+    return base[:, :, None] + jnp.asarray(off, base.dtype)[None, None, :]
+
+
+def _grouped_weights(weights: jnp.ndarray, k: int, g: int) -> jnp.ndarray:
+    """[K^3,Cin,Cout] hypercube weights -> [k*n_g*g*k*Cin, Cout] matching
+    the grouped patch layout (dy slots >= k are junk -> zero rows)."""
+    cin, cout = weights.shape[-2], weights.shape[-1]
+    n_g = -(-k // g)
+    w5 = weights.reshape(k, k, k, cin, cout)
+    if n_g * g > k:
+        w5 = jnp.concatenate(
+            [w5, jnp.zeros((k, n_g * g - k, k, cin, cout), w5.dtype)],
+            axis=1)
+    return w5.reshape(k * n_g * g * k * cin, cout)
 
 
 def _patch_indices(coords: jnp.ndarray, dims: Sequence[int], k: int,
@@ -98,13 +162,15 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
     dense, _ = jax.vmap(
         lambda c, m, f: scatter_to_dense(c, m, f, dims))(
         coords, mask, feats.astype(compute_dtype))
-    folded = _fold_z(dense, k)
-    flat = folded.reshape(-1, k * cin)
+    g = _pick_group(k, cin, dims, b, np.dtype(compute_dtype).itemsize)
+    n_g = -(-k // g)
+    folded = _fold_zy(dense, k, g)
+    flat = folded.reshape(-1, g * k * cin)
     cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
-    idx = _patch_indices(cc, dims, k)                           # [B,V,k²]
-    rows = batched_rows(flat, idx)                              # [B,V,k²,kC]
-    patches = rows.reshape(b * v, k * k * k * cin)
-    wf = weights.reshape(k * k * k * cin, cout).astype(patches.dtype)
+    idx = _patch_indices_grouped(cc, dims, k, g)               # [B,V,k·n_g]
+    rows = batched_rows(flat, idx)                             # [...,gkC]
+    patches = rows.reshape(b * v, k * n_g * g * k * cin)
+    wf = _grouped_weights(weights, k, g).astype(patches.dtype)
     y = jnp.dot(patches, wf,
                 preferred_element_type=jnp.float32).reshape(b, v, cout)
     return jnp.where(mask[..., None], y, 0.0).astype(compute_dtype)
@@ -130,11 +196,11 @@ def pool_neighbor_map_batch(coords0: jnp.ndarray, mask0: jnp.ndarray,
     local = jnp.broadcast_to(jnp.arange(v0, dtype=jnp.int32)[None], (b, v0))
     row_of = row_of.at[gidx.reshape(-1)].set(local.reshape(-1), mode="drop")
     vol = row_of[: b * s].reshape(b, d, h, w, 1)
-    folded = _fold_z(vol, 3, pad_value=v0)                      # [..., 3]
-    flat = folded.reshape(-1, 3)
+    folded = _fold_zy(vol, 3, 3, pad_value=v0)                  # [..., 9]
+    flat = folded.reshape(-1, 9)
     c1 = jnp.clip(coords1 * 2, 0, jnp.asarray([d - 1, h - 1, w - 1]))
-    idx = _patch_indices(c1, dims, 3)                           # [B,V1,9]
-    rows = batched_rows(flat, idx)                              # [B,V1,9,3]
+    idx = _patch_indices_grouped(c1, dims, 3, 3)                # [B,V1,3]
+    rows = batched_rows(flat, idx)                              # [B,V1,3,9]
     nbr = rows.reshape(b, coords1.shape[1], 27)
     return jnp.where(mask1[..., None], nbr, v0)
 

@@ -224,3 +224,22 @@ class TestWholeModelParity:
         for k in sd:
             np.testing.assert_allclose(np.asarray(ss[k]), np.asarray(sd[k]),
                                        rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+@pytest.mark.parametrize("budget", [10**12, 40_000, 1])
+def test_grouped_fold_budgets_match(monkeypatch, budget):
+    """The y-group fold (g=k down to g=1 under a tiny budget) is exact."""
+    from dpcr_agb_tpu.ops import sparse_stem
+    monkeypatch.setattr(sparse_stem, "FOLD_BYTES_BUDGET", budget)
+    rng = np.random.default_rng(11)
+    dims = (10, 9, 8)
+    coords, mask = _random_sites(rng, dims, 33, 40)
+    feats = jnp.asarray(rng.normal(size=(40, 3)), jnp.float32)
+    feats = jnp.where(mask[:, None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(343, 3, 6)) * 0.1, jnp.float32)
+    dense, occ = scatter_to_dense(coords, mask, feats, dims)
+    want = gather_from_dense(dense_conv(dense[None], occ[None], w, 7)[0],
+                             coords, mask)
+    got = stem_conv_sparse(coords, mask, feats, dims, w, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
