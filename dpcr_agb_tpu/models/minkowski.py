@@ -428,9 +428,9 @@ class SparseResNet(nn.Module):
                 # scatter the (BN'd, activated) rows back to the full-res
                 # volume and pool densely: the dense pool fwd+bwd measured
                 # cheaper than 27-row gathers + scatter-add backward
-                hv, occ_v = jax.vmap(
-                    lambda c, m, f: scatter_to_dense(c, m, f, dims))(
-                    coords, mask, h_rows)
+                from ..ops.sparse_stem import scatter_to_dense_batch
+                hv, occ_v = scatter_to_dense_batch(coords, mask, h_rows,
+                                                   dims)
                 occ_l = occupancy_pool(occ_v)
                 h = dense_max_pool(hv, occ_v, occ_l)
             else:

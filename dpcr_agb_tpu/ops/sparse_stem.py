@@ -12,30 +12,34 @@ manual pool backward — all measured slower or OOM), so this module stops
 paying for empty sites instead:
 
   1. scatter features to the dense [B,D,H,W,Cin] volume (tiny: Cin=3)
-  2. z-fold it by shifted SLICES into [B,D+2p,H+2p,W,k*Cin] — the k z-taps
-     become channels; slicing is pure bandwidth on a small tensor
-  3. ONE batch-flattened row gather: for each occupied voxel, the k^2
-     (dx,dy) rows of the folded volume form the full k^3 patch
-     -> [B,V,k^3*Cin]
-  4. ONE MXU matmul [B*V, k^3*Cin] @ [k^3*Cin, Cout]
+  2. fold z fully AND y in groups of g by shifted SLICES — the taps become
+     channels (slicing is pure bandwidth); `_pick_group` sizes g under a
+     transient-HBM budget (DPCR_FOLD_BYTES)
+  3. ONE batch-flattened row gather of k*ceil(k/g) WIDE rows per site
+     -> [B,V, >=k^3*Cin] patches (junk y-slots get zero weight rows)
+  4. ONE MXU matmul against the grouped weight matrix
 
 Empty cells hold zeros, which IS the conv semantics for missing
-neighbors; dense-path parity is test-asserted (tests/test_sparse_stem.py).
+neighbors; dense-path parity is test-asserted (tests/test_sparse_stem.py)
+including forced group budgets.
 
-GATHER SHAPE MATTERS (measured on v5e): a vmapped per-sample
-`jnp.take(table_s, idx_s)` runs ~25 ns/row (313 ms for the bs16 stem
-patch gather); the SAME gather as one 2D row-gather over the
-batch-flattened table (models/kpconv.py `_batched_rows` trick, flat int32
-indices) is row-count-bound at ~2 ns/row. Every gather in this module is
-batch-flattened for that reason.
+GATHER COST MODEL (measured on v5e, docs/experiments/round2/
+exp_gather_scaling.py + exp_stem_micro.py): HBM row gathers cost a flat
+~7-22 ns/ROW nearly independent of row width, and scatters ~16 ns/row —
+so the formulation above minimizes ROW COUNT, not bytes. The naive
+[B,V,49]-narrow-row gather measured 282 ms at bs16; grouping cuts rows
+7x. All gathers go through one flat 2D row-gather over the
+batch-flattened table (`batched_rows`).
 
 The first maxpool (kernel 3, stride 2 — Minkowski MaxPool semantics as in
-ops/dense_grid.dense_max_pool) pools rows the same way: a dense int32
-row-index volume is z-folded and gathered at the 3^2 (dx,dy) offsets of
-each level-1 site, giving a [B,V1,27] neighbor map consumed by
-max_pool_sparse. Its backward is the gather's scatter-add — the
-select_and_scatter volume backward disappears together with the dense
-stem activation (the program's two largest tensors).
+ops/dense_grid.dense_max_pool) has two modes (DPCR_SPARSE_POOL):
+"dense" (default) scatters the BN'd/activated rows back to the volume
+and uses reduce_window — its select_and_scatter backward measured
+cheaper than row-space scatter-adds; "rows" builds a [B,V1,27] neighbor
+map from a z+y-folded int32 row-index volume and maxes gathered rows
+(max_pool_sparse), trading the volume for ~170 ms of gather/scatter at
+bs16. Whole-step bench: sparse L0 (g=4, dense pool) 66.5 plots/s vs
+56.3 dense at bs16.
 """
 from __future__ import annotations
 
@@ -51,6 +55,33 @@ def batched_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table [R,C], idx [...] flat int32 -> [..., C]: the TPU-fast flat
     2D row gather (see module docstring)."""
     return table[idx.reshape(-1)].reshape(*idx.shape, table.shape[-1])
+
+
+def scatter_to_dense_batch(coords: jnp.ndarray, mask: jnp.ndarray,
+                           feats: jnp.ndarray, dims: Sequence[int],
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-flattened scatter_to_dense: one flat row scatter instead of a
+    vmapped per-sample one (same ~2x row-rate rule as gathers; the vmapped
+    form measured 14 ms at bs16 for the Cin=3 stem scatter).
+    [B,V,3]+[B,V]+[B,V,C] -> dense [B,D,H,W,C] + occupancy [B,D,H,W,1]."""
+    d, h, w = dims
+    b, v = mask.shape
+    s = d * h * w
+    c = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    in_bounds = jnp.all((coords >= 0) & (coords < jnp.asarray([d, h, w])),
+                        axis=-1)
+    valid = mask & in_bounds
+    flat_idx = (c[..., 0] * h + c[..., 1]) * w + c[..., 2]
+    flat_idx = flat_idx + (jnp.arange(b, dtype=flat_idx.dtype) * s)[:, None]
+    flat_idx = jnp.where(valid, flat_idx, b * s)                # dump row
+    payload = jnp.concatenate(
+        [jnp.where(valid[..., None], feats, 0),
+         valid[..., None].astype(feats.dtype)], axis=-1)
+    table = jnp.zeros((b * s + 1, payload.shape[-1]), feats.dtype)
+    table = table.at[flat_idx.reshape(-1)].add(
+        payload.reshape(b * v, -1), mode="drop")
+    dense = table[: b * s].reshape(b, d, h, w, -1)
+    return dense[..., :-1], dense[..., -1:]
 
 
 def _fold_z(vol: jnp.ndarray, k: int, pad_value=0) -> jnp.ndarray:
@@ -154,14 +185,12 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
     weights [K^3,Cin,Cout] in hypercube order (z fastest).
     Returns [B,V,Cout] in compute_dtype (MXU f32 accumulate -> cast,
     mirroring dense_conv)."""
-    from .dense_grid import scatter_to_dense
     k = kernel_size
     cin, cout = weights.shape[-2], weights.shape[-1]
     d, h, w = dims
     b, v = mask.shape
-    dense, _ = jax.vmap(
-        lambda c, m, f: scatter_to_dense(c, m, f, dims))(
-        coords, mask, feats.astype(compute_dtype))
+    dense, _ = scatter_to_dense_batch(coords, mask,
+                                      feats.astype(compute_dtype), dims)
     g = _pick_group(k, cin, dims, b, np.dtype(compute_dtype).itemsize)
     n_g = -(-k // g)
     folded = _fold_zy(dense, k, g)
