@@ -37,11 +37,11 @@ NEG_INF = -1e30
 #   DPCR_POOL_BWD:  "xla" (default: select_and_scatter) | "manual"
 STEM_MODE = os.environ.get("DPCR_STEM_MODE", "xla3d")
 POOL_BWD_MODE = os.environ.get("DPCR_POOL_BWD", "xla")
-# DPCR_L0: "dense" (default — full-volume stem conv + select_and_scatter
-# pool) or "sparse" (ops/sparse_stem.py rows-only level 0). First TPU bench
-# of sparse measured 22.7 vs 56.3 plots/s (bs16) — opt-in until the
-# row-gather/sort costs are beaten down (exp_sparse_l0_breakdown.py).
-L0_MODE = os.environ.get("DPCR_L0", "dense")
+# DPCR_L0: "sparse" (default — ops/sparse_stem.py computes the stem only
+# at occupied sites; bs16 bench 69.1 plots/s at fold group g=7) or
+# "dense" (full-volume stem conv; 56.3 plots/s). Sweep history in
+# docs/experiments/round2/README.md.
+L0_MODE = os.environ.get("DPCR_L0", "sparse")
 # DPCR_SPARSE_POOL (sparse L0 only): "rows" (27-row gather + scatter-add
 # backward) or "dense" (scatter rows to the volume, reduce_window pool —
 # measured cheaper: 23 ms fwd + bounded select_and_scatter backward vs
@@ -216,7 +216,11 @@ def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
     """Minkowski MaxPool(kernel 3, stride 2): max over the 3^3 input window
     around 2u, empty inputs excluded (-inf), output only at occupied sites.
     DPCR_POOL_BWD=manual swaps in the equality-routed backward
-    (ops/dense_stem.manual_max_pool) replacing select_and_scatter.
+    (ops/dense_stem.manual_max_pool) replacing select_and_scatter;
+    DPCR_POOL_BWD=separable factorizes the pool into three 1D k3/s2 window
+    maxes (exact: max over a 3^3 window factorizes per axis; each pass
+    halves one dim so window work is ~3+1.5+0.75 taps vs 27, and the
+    autodiff backward becomes three shrinking select_and_scatters).
     NOTE: init must be the VALUE -inf for JAX's reduce_window_max gradient
     rule to apply (any other value falls back to the non-differentiable
     generic reduce_window primitive), must be a STATIC scalar (a traced
@@ -228,10 +232,21 @@ def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
         from .dense_stem import manual_max_pool
         return manual_max_pool(x, occ_in, occ_out)
     filled = jnp.where(occ_in > 0, x, jnp.asarray(NEG_INF, x.dtype))
-    y = jax.lax.reduce_window(
-        filled, x.dtype.type(-np.inf), jax.lax.max,
-        (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
-        [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    if POOL_BWD_MODE == "separable":
+        y = filled
+        for axis in (1, 2, 3):
+            window = [1, 1, 1, 1, 1]
+            stride = [1, 1, 1, 1, 1]
+            pad = [(0, 0)] * 5
+            window[axis], stride[axis], pad[axis] = 3, 2, (1, 1)
+            y = jax.lax.reduce_window(
+                y, x.dtype.type(-np.inf), jax.lax.max,
+                tuple(window), tuple(stride), pad)
+    else:
+        y = jax.lax.reduce_window(
+            filled, x.dtype.type(-np.inf), jax.lax.max,
+            (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
     return jnp.where(occ_out > 0, y, 0.0)
 
 

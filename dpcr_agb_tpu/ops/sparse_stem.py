@@ -102,7 +102,9 @@ def _fold_z(vol: jnp.ndarray, k: int, pad_value=0) -> jnp.ndarray:
 # (g=k: 7 rows of 294 B vs 49 rows of 42 B — 7x fewer rows for the same
 # bytes). The folded table costs B*(D+2p)*H2*W*g*k*C bytes of transient
 # HBM; _pick_group picks the largest g under this budget.
-FOLD_BYTES_BUDGET = int(os.environ.get("DPCR_FOLD_BYTES", 2_500_000_000))
+# 3.5 GB admits g=7 at the bs16 bench shape (3.1 GB fold, measured 69.1
+# vs 66.5 plots/s at g=4) while degrading to g=2 at bs32
+FOLD_BYTES_BUDGET = int(os.environ.get("DPCR_FOLD_BYTES", 3_500_000_000))
 
 
 def _pick_group(k: int, cin: int, dims, b: int, itemsize: int) -> int:

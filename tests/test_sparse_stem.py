@@ -243,3 +243,25 @@ def test_grouped_fold_budgets_match(monkeypatch, budget):
     got = stem_conv_sparse(coords, mask, feats, dims, w, 7)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_separable_pool_bwd_mode_parity(monkeypatch):
+    """DPCR_POOL_BWD=separable: cascaded 1D window maxes == the 3^3 pool,
+    values and gradients."""
+    from dpcr_agb_tpu.ops import dense_grid
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(2, 9, 8, 7, 5)), jnp.float32)
+    occ_in = jnp.asarray(rng.random((2, 9, 8, 7, 1)) < 0.3, jnp.float32)
+    x = x * occ_in
+    occ_out = occupancy_pool(occ_in)
+
+    def loss(xi):
+        return jnp.sum(dense_grid.dense_max_pool(xi, occ_in, occ_out) ** 2)
+
+    monkeypatch.setattr(dense_grid, "POOL_BWD_MODE", "xla")
+    want, gwant = jax.value_and_grad(loss)(x)
+    monkeypatch.setattr(dense_grid, "POOL_BWD_MODE", "separable")
+    got, ggot = jax.value_and_grad(loss)(x)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gwant),
+                               rtol=1e-5, atol=1e-6)
