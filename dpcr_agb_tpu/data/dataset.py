@@ -271,6 +271,12 @@ class LasDataset:
         self.val_transform = instantiate_transforms(
             tt_cfg.get("val_transform", tt_cfg.get("test_transform")))
         self.test_transform = instantiate_transforms(tt_cfg.get("test_transform"))
+        # batch-level hook (reference base_dataset.py pre_batch_collate
+        # surface; e.g. ClampBatchSize) applied to the sample list pre-collate
+        from ..transforms.core import instantiate_batch_transforms
+        self.pre_batch_collate_transform = instantiate_batch_transforms(
+            tt_cfg.get("pre_batch_collate_transform")
+            or get("pre_batch_collate_transform"))
 
         # null area values are deletions (e.g. a synthetic config dropping the
         # inherited NFI area)

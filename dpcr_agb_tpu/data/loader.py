@@ -26,7 +26,8 @@ class Loader:
                  spec: CollateSpec, shuffle: bool = False,
                  double_batch: bool = False, drop_last: bool = True,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
-                 post_collate: Optional[Callable] = None):
+                 post_collate: Optional[Callable] = None,
+                 pre_batch_collate: Optional[Callable] = None):
         self.dataset = dataset
         self.transform = transform
         self.batch_size = batch_size
@@ -38,6 +39,7 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.post_collate = post_collate
+        self.pre_batch_collate = pre_batch_collate
         self.sampler = RandomSampler(len(dataset), batch_size, double_batch) \
             if shuffle else None
 
@@ -88,6 +90,8 @@ class Loader:
             samples = [self._make_sample(epoch, bi * self.batch_size + j,
                                          batch_idx[j], doubles[j])
                        for j in range(len(batch_idx))]
+            if self.pre_batch_collate is not None:
+                samples = self.pre_batch_collate(samples)
             b = collate(samples, self.spec, pad_to_batch=self.batch_size)
             if self.post_collate is not None:
                 b = self.post_collate(b)

@@ -270,7 +270,9 @@ class Trainer:
                 double_batch=self.bundle.spec.double_batch and is_train,
                 drop_last=is_train, seed=self.seed,
                 num_workers=self.num_workers,
-                post_collate=self.bundle.post_collate)
+                post_collate=self.bundle.post_collate,
+                pre_batch_collate=getattr(
+                    self.dataset, "pre_batch_collate_transform", None))
 
     def _example_batch(self):
         for split in ("train", "val", "test"):

@@ -155,6 +155,70 @@ def instantiate_transforms(cfg_list) -> Compose:
 
 
 @register
+class ClampBatchSize:
+    """Drops samples from a batch when the cumulative point count exceeds
+    ``num_points`` (reference core/data_transform/prebatchcollate.py:6-43).
+
+    BATCH-LEVEL transform: called with the sample LIST just before collate
+    (Loader ``pre_batch_collate``), not per-sample. Dropped samples shrink
+    the effective batch; the fixed-shape collate pads the batch back to
+    size with fully-masked rows, so device shapes are unchanged (the
+    static-shape analogue of the reference's smaller dynamic batch).
+    Divergence: where the reference can return an EMPTY list, at least the
+    smallest sample is kept so a batch always exists."""
+
+    batch_level = True
+
+    def __init__(self, num_points: int = 100000):
+        self._num_points = int(num_points)
+
+    def __call__(self, samples: List[Sample]) -> List[Sample]:
+        total = 0
+        out = []
+        for s in samples:
+            n = len(s["pos"])
+            if self._num_points and total + n > self._num_points:
+                continue
+            total += n
+            out.append(s)
+        if not out and samples:
+            out = [min(samples, key=lambda s: len(s["pos"]))]
+        if len(out) < len(samples):
+            import logging
+            logging.getLogger(__name__).warning(
+                "ClampBatchSize: %d points exceed the %d budget; batch "
+                "truncated to %d of %d samples",
+                sum(len(s["pos"]) for s in samples), self._num_points,
+                len(out), len(samples))
+        return out
+
+    def __repr__(self):
+        return f"ClampBatchSize(num_points={self._num_points})"
+
+
+def instantiate_batch_transforms(cfg_list) -> Optional[Callable]:
+    """Compose BATCH-LEVEL transforms (list-of-samples -> list-of-samples),
+    e.g. ClampBatchSize, from a preset's ``pre_batch_collate_transform``
+    list. Returns None when the list is empty (no loader hook)."""
+    if cfg_list is None:
+        return None
+    ts = [instantiate_transform(e) for e in _flatten(_to_plain(cfg_list))]
+    for t in ts:
+        if not getattr(t, "batch_level", False):
+            raise ValueError(
+                f"{t!r} is not a batch-level transform (expected e.g. "
+                "ClampBatchSize in pre_batch_collate_transform)")
+    if not ts:
+        return None
+
+    def apply(samples):
+        for t in ts:
+            samples = t(samples)
+        return samples
+    return apply
+
+
+@register
 class LotteryTransform(Transform):
     """Draw one transform uniformly per call (reference __init__.py:104-127)."""
 

@@ -267,3 +267,50 @@ def test_spatial_signal_generator_defeats_stat_models(rng):
 
     assert stats_r2(False) > 0.85     # default: stat-saturated
     assert stats_r2(True) < 0.82      # spatial: stats underdetermine
+
+
+def test_clamp_batch_size_semantics():
+    """ClampBatchSize mirrors reference prebatchcollate.py:6-43: drop any
+    sample that would push the cumulative point count over num_points,
+    keeping later samples that still fit."""
+    from dpcr_agb_tpu.transforms.core import (ClampBatchSize,
+                                              instantiate_batch_transforms)
+    mk = lambda n: {"pos": np.zeros((n, 3), np.float32)}  # noqa: E731
+    t = ClampBatchSize(num_points=100)
+    out = t([mk(60), mk(60), mk(30), mk(20)])
+    assert [len(s["pos"]) for s in out] == [60, 30]  # 60 dropped, 20 over
+    # never returns an empty batch (static-shape divergence, documented)
+    out = t([mk(500), mk(300)])
+    assert [len(s["pos"]) for s in out] == [300]
+    # config plumbing + non-batch-level rejection
+    fn = instantiate_batch_transforms(
+        [{"transform": "ClampBatchSize", "params": {"num_points": 100}}])
+    assert [len(s["pos"]) for s in fn([mk(80), mk(30), mk(10)])] == [80, 10]
+    with pytest.raises(ValueError):
+        instantiate_batch_transforms([{"transform": "AddOnes"}])
+
+
+def test_loader_pre_batch_collate(synth_root):
+    """The loader applies the batch-level hook before collate; dropped
+    samples become fully-masked padding rows (static shapes preserved)."""
+    ds = instantiate_dataset(_dataset_cfg(synth_root))
+    from dpcr_agb_tpu.transforms.core import ClampBatchSize
+    big = Loader(ds.train_dataset, ds.train_transform, batch_size=4,
+                 spec=CollateSpec(num_points=2048), shuffle=False,
+                 drop_last=False, num_workers=1)
+    n_pts = [int(b.mask.sum(axis=1).max()) for b in big.epoch(0)]
+    budget = max(n_pts) + 1  # allows ~1 sample per batch
+    clamped = Loader(ds.train_dataset, ds.train_transform, batch_size=4,
+                     spec=CollateSpec(num_points=2048), shuffle=False,
+                     drop_last=False, num_workers=1,
+                     pre_batch_collate=ClampBatchSize(num_points=budget))
+    dropped_somewhere = False
+    for b in clamped.epoch(0):
+        assert b.x.shape[0] == 4  # static batch shape kept
+        # collate refills dropped slots by repeating the first sample with
+        # all-False y_reg_mask — real samples are the label-carrying ones
+        real = np.asarray(b.y_reg_mask).any(axis=1)
+        per_sample = np.asarray(b.mask).sum(axis=1)
+        dropped_somewhere |= real.sum() < 4
+        assert per_sample[real].sum() <= budget or real.sum() == 1
+    assert dropped_somewhere
