@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -50,6 +51,19 @@ class Trainer:
     # ------------------------------------------------------------------ init
     def _initialize_trainer(self) -> None:
         cfg = self._cfg
+        # persistent compilation cache: TPU compiles through the axon tunnel
+        # cost minutes; reruns of the same shapes (trials, eval, resume) hit
+        # the disk cache instead (same setup as bench.py)
+        cache_dir = str(cfg.get("jax_cache_dir", "") or os.path.join(
+            os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except (OSError, AttributeError) as e:  # read-only fs etc.
+            log.info(f"compilation cache disabled: {e}")
         self.training_cfg = cfg["training"]
         get_t = self.training_cfg.get
         self.epochs = int(get_t("epochs", 1))
