@@ -394,9 +394,6 @@ class SparseResNet(nn.Module):
             dims = (dims[0], dims[1],
                     min(int(batch.aux["zcells"].shape[-1]), dims[2]))
         feats = batch.x.astype(self.dtype)
-        h, occ = jax.vmap(
-            lambda c, m, f: scatter_to_dense(c, m, f, dims))(
-            coords, mask, feats)
 
         def norm_flat(y, occ_v, width, name):
             b = y.shape[0]
@@ -447,7 +444,12 @@ class SparseResNet(nn.Module):
                     grid1.coords, grid1.mask, h_rows)
         else:
             # dense level 0 (rematerialized: the full-resolution activation
-            # is the biggest tensor in the program; recompute in backward)
+            # is the biggest tensor in the program; recompute in backward).
+            # The full-volume scatter lives HERE so the sparse path's jaxpr
+            # never carries the [B,D,H,W,C] volume at all.
+            h, occ = jax.vmap(
+                lambda c, m, f: scatter_to_dense(c, m, f, dims))(
+                coords, mask, feats)
             if self.first_stride == 1:
                 occ_stem = occ
             else:

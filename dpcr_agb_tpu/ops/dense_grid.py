@@ -232,7 +232,18 @@ def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
         from .dense_stem import manual_max_pool
         return manual_max_pool(x, occ_in, occ_out)
     filled = jnp.where(occ_in > 0, x, jnp.asarray(NEG_INF, x.dtype))
-    if POOL_BWD_MODE == "separable":
+    y = windowed_max(filled, separable=POOL_BWD_MODE == "separable")
+    return jnp.where(occ_out > 0, y, 0.0)
+
+
+def windowed_max(filled: jnp.ndarray, separable: bool) -> jnp.ndarray:
+    """The k3/s2 SAME-padded window max shared by dense_max_pool and
+    dense_stem.manual_max_pool's forward. `separable` chains three 1D
+    k3/s2 passes (exact: max over a 3^3 window factorizes per axis; each
+    pass halves one dim so window work is ~3+1.5+0.75 taps vs 27). The
+    init value must be the STATIC scalar -inf IN filled's dtype — see
+    dense_max_pool's NOTE."""
+    if separable:
         y = filled
         for axis in (1, 2, 3):
             window = [1, 1, 1, 1, 1]
@@ -240,14 +251,13 @@ def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
             pad = [(0, 0)] * 5
             window[axis], stride[axis], pad[axis] = 3, 2, (1, 1)
             y = jax.lax.reduce_window(
-                y, x.dtype.type(-np.inf), jax.lax.max,
+                y, filled.dtype.type(-np.inf), jax.lax.max,
                 tuple(window), tuple(stride), pad)
-    else:
-        y = jax.lax.reduce_window(
-            filled, x.dtype.type(-np.inf), jax.lax.max,
-            (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
-            [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
-    return jnp.where(occ_out > 0, y, 0.0)
+        return y
+    return jax.lax.reduce_window(
+        filled, filled.dtype.type(-np.inf), jax.lax.max,
+        (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
 
 
 def level_dims(dims: Sequence[int], level: int) -> Tuple[int, int, int]:

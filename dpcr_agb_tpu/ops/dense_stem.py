@@ -208,22 +208,9 @@ def manual_max_pool(x, occ_in, occ_out):
 
 
 def _pool_fwd_val(x, occ_in, occ_out):
+    from .dense_grid import windowed_max
     filled = jnp.where(occ_in > 0, x, jnp.asarray(NEG_INF, x.dtype))
-    if POOL_FWD_MODE == "separable":
-        y = filled
-        for axis in (1, 2, 3):
-            window = [1, 1, 1, 1, 1]
-            stride = [1, 1, 1, 1, 1]
-            pad = [(0, 0)] * 5
-            window[axis], stride[axis], pad[axis] = 3, 2, (1, 1)
-            y = jax.lax.reduce_window(
-                y, x.dtype.type(-np.inf), jax.lax.max,
-                tuple(window), tuple(stride), pad)
-    else:
-        y = jax.lax.reduce_window(
-            filled, x.dtype.type(-np.inf), jax.lax.max,
-            (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
-            [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    y = windowed_max(filled, separable=POOL_FWD_MODE == "separable")
     return jnp.where(occ_out > 0, y, 0.0)
 
 

@@ -258,6 +258,12 @@ def kpconv_pyramid_host(pos: np.ndarray, mask: np.ndarray,
     # pyramid on real batches).
     padded = np.where(mask[:, None], pos, SHADOW_POS).astype(np.float32)
     m = mask.copy()
+    n0 = int(m.sum())
+    if n0 and not m[:n0].all():
+        # the [:n] slicing below indexes rows positionally, so a sparse
+        # mask would silently address the wrong feature rows
+        raise ValueError("host pyramid requires a prefix-packed mask "
+                         "(valid rows first, as data/batch.py collates)")
     pts = pos[mask].astype(np.float32)
 
     for l in range(n_levels):

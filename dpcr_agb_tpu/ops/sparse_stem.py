@@ -107,11 +107,25 @@ def _fold_z(vol: jnp.ndarray, k: int, pad_value=0) -> jnp.ndarray:
 FOLD_BYTES_BUDGET = int(os.environ.get("DPCR_FOLD_BYTES", 3_500_000_000))
 
 
+def _fold_geometry(h: int, k: int, g: int) -> Tuple[int, int]:
+    """(extra y pad e, folded y-extent h2) for a y-group fold of size g.
+
+    When g does not divide k, the last group's row for a site at y starts
+    at folded row y + (ceil(k/g)-1)*g, which exceeds the plain
+    h + 2p - (g-1) extent by e = ceil(k/g)*g - k rows at the top y border
+    — so the z-folded tensor gets e extra zero rows appended on the high-y
+    side before folding (the taps past k in that last group carry zero
+    weight rows, so the padding value never reaches the output)."""
+    p = k // 2
+    e = -(-k // g) * g - k
+    return e, h + 2 * p + e - (g - 1)
+
+
 def _pick_group(k: int, cin: int, dims, b: int, itemsize: int) -> int:
     d, h, w = dims
     p = k // 2
     for g in range(k, 0, -1):
-        h2 = h + 2 * p - (g - 1)
+        _, h2 = _fold_geometry(h, k, g)
         nbytes = b * (d + 2 * p) * h2 * w * g * k * cin * itemsize
         if nbytes <= FOLD_BYTES_BUDGET:
             return g
@@ -119,14 +133,17 @@ def _pick_group(k: int, cin: int, dims, b: int, itemsize: int) -> int:
 
 
 def _fold_zy(vol: jnp.ndarray, k: int, g: int, pad_value=0) -> jnp.ndarray:
-    """z-fold then fold g consecutive y-taps into channels:
-    out[a, b, w, (dy*k + dz)*C + c] = xpad[a-p? ...] — concretely
-    out[a, b, w] covers y-taps dy in [0, g) relative to row b of the
-    z-folded tensor. Shape [B, D+2p, H+2p-(g-1), W, g*k*C]."""
+    """z-fold then fold g consecutive y-taps into channels: out[a, b, w]
+    covers y-taps dy in [0, g) relative to row b of the (extra-padded)
+    z-folded tensor. Shape [B, D+2p, h2, W, g*k*C] with h2 per
+    `_fold_geometry` (includes the non-divisor extra pad e)."""
     t = _fold_z(vol, k, pad_value)
     if g == 1:
         return t
-    h2 = t.shape[2] - (g - 1)
+    e, h2 = _fold_geometry(vol.shape[2], k, g)
+    if e:
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, e), (0, 0), (0, 0)),
+                    constant_values=pad_value)
     return jnp.concatenate([t[:, :, dy:dy + h2] for dy in range(g)], axis=-1)
 
 
@@ -137,7 +154,7 @@ def _patch_indices_grouped(coords: jnp.ndarray, dims, k: int, g: int,
     d, h, w = dims
     p = k // 2
     n_g = -(-k // g)
-    h2 = h + 2 * p - (g - 1)
+    _, h2 = _fold_geometry(h, k, g)
     b = coords.shape[0]
     base = (coords[..., 0] * h2 + coords[..., 1]) * w + coords[..., 2]
     base = base + (jnp.arange(b, dtype=base.dtype)

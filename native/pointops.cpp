@@ -142,14 +142,34 @@ void radius_neighbors(const float* queries, int64_t n_q,
         return;
     }
     const float inv = 1.0f / radius;
+    // Extents over FINITE coords only: NaN/inf points (corrupt LAS rows,
+    // augmentation overflow) must not poison the grid geometry. They are
+    // clamped into edge cells below, where their NaN/inf distance excludes
+    // them from every radius test — matching the hash path's tolerance.
     float lo[3], hi[3];
-    for (int d = 0; d < 3; ++d) { lo[d] = supports[d]; hi[d] = supports[d]; }
-    for (int64_t i = 1; i < n_s; ++i)
-        for (int d = 0; d < 3; ++d) {
-            float v = supports[3 * i + d];
-            if (v < lo[d]) lo[d] = v;
-            if (v > hi[d]) hi[d] = v;
+    bool any_finite = false;
+    for (int d = 0; d < 3; ++d) { lo[d] = 0.0f; hi[d] = 0.0f; }
+    for (int64_t i = 0; i < n_s; ++i) {
+        const float* p = supports + 3 * i;
+        if (!std::isfinite(p[0]) || !std::isfinite(p[1]) ||
+            !std::isfinite(p[2]))
+            continue;
+        if (!any_finite) {
+            for (int d = 0; d < 3; ++d) { lo[d] = p[d]; hi[d] = p[d]; }
+            any_finite = true;
+            continue;
         }
+        for (int d = 0; d < 3; ++d) {
+            if (p[d] < lo[d]) lo[d] = p[d];
+            if (p[d] > hi[d]) hi[d] = p[d];
+        }
+    }
+    if (!any_finite) {  // nothing can ever be within radius
+        for (int64_t q = 0; q < n_q; ++q)
+            for (int32_t j = 0; j < max_k; ++j)
+                out[(size_t)q * max_k + j] = (int32_t)n_s;
+        return;
+    }
     int64_t dims[3];
     for (int d = 0; d < 3; ++d) {
         dims[d] = (int64_t)std::floor((hi[d] - lo[d]) * inv) + 1;
@@ -169,11 +189,19 @@ void radius_neighbors(const float* queries, int64_t n_q,
     std::vector<int32_t> cell_of_pt((size_t)n_s);
     std::vector<int32_t> start((size_t)n_cells + 1, 0);
     const int64_t sy = dims[2], sx = dims[1] * dims[2];
+    // cell index clamped into the grid; non-finite coords land in cell 0
+    // (their distance to any query is NaN/inf, so they are never selected)
+    auto cell_clamped = [inv](float v, float l, int64_t dim) -> int64_t {
+        float t = (v - l) * inv;
+        if (!(t > 0.0f)) return 0;            // NaN, -inf, or <= lo
+        if (t >= (float)dim) return dim - 1;  // +inf or > hi
+        return (int64_t)t;
+    };
     for (int64_t i = 0; i < n_s; ++i) {
         const float* p = supports + 3 * i;
-        int64_t cx = (int64_t)std::floor((p[0] - lo[0]) * inv);
-        int64_t cy = (int64_t)std::floor((p[1] - lo[1]) * inv);
-        int64_t cz = (int64_t)std::floor((p[2] - lo[2]) * inv);
+        int64_t cx = cell_clamped(p[0], lo[0], dims[0]);
+        int64_t cy = cell_clamped(p[1], lo[1], dims[1]);
+        int64_t cz = cell_clamped(p[2], lo[2], dims[2]);
         int32_t c = (int32_t)(cx * sx + cy * sy + cz);
         cell_of_pt[(size_t)i] = c;
         start[(size_t)c + 1]++;
@@ -200,9 +228,19 @@ void radius_neighbors(const float* queries, int64_t n_q,
     for (int64_t q = 0; q < n_q; ++q) {
         cand.clear();
         const float* qp = queries + 3 * q;
-        int64_t bx = (int64_t)std::floor((qp[0] - lo[0]) * inv);
-        int64_t by = (int64_t)std::floor((qp[1] - lo[1]) * inv);
-        int64_t bz = (int64_t)std::floor((qp[2] - lo[2]) * inv);
+        // non-finite / far-out query coords -> an out-of-range cell so the
+        // overlap test below yields an empty row (sentinels sized to keep
+        // bx+1 / bx-1 overflow-free)
+        auto qcell = [inv](float v, float l) -> int64_t {
+            float t = (v - l) * inv;
+            if (t != t) return INT64_MIN / 4;             // NaN
+            if (t >= 9.0e17f) return INT64_MAX / 4;
+            if (t <= -9.0e17f) return INT64_MIN / 4;
+            return (int64_t)std::floor(t);
+        };
+        int64_t bx = qcell(qp[0], lo[0]);
+        int64_t by = qcell(qp[1], lo[1]);
+        int64_t bz = qcell(qp[2], lo[2]);
         int64_t x0 = bx > 0 ? bx - 1 : 0, x1 = bx + 1 < dims[0] ? bx + 1 : dims[0] - 1;
         int64_t y0 = by > 0 ? by - 1 : 0, y1 = by + 1 < dims[1] ? by + 1 : dims[1] - 1;
         int64_t z0 = bz > 0 ? bz - 1 : 0, z1 = bz + 1 < dims[2] ? bz + 1 : dims[2] - 1;

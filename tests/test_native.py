@@ -43,6 +43,34 @@ def test_radius_neighbors_matches_bruteforce(rng):
         assert (out[i, len(got):] == 80).all()
 
 
+def test_radius_neighbors_tolerates_nonfinite(rng):
+    """NaN/inf coords (corrupt LAS rows, augmentation overflow) must not
+    corrupt the flat-grid counting sort: non-finite supports are never
+    neighbors, non-finite queries get all-shadow rows."""
+    s = rng.normal(size=(500, 3)).astype(np.float32)
+    s[7] = np.nan
+    s[13, 1] = np.inf
+    s[21] = -np.inf
+    q = s.copy()
+    q[3] = np.nan
+    out = native.radius_neighbors(q, s, 0.5, 16)
+    assert out.shape == (500, 16)
+    assert (out[3] == 500).all()  # NaN query -> shadow row
+    bad = {7, 13, 21}
+    assert not bad & set(out[out < 500].tolist())
+    d2 = ((q[:50, None, :] - s[None, :, :]) ** 2).sum(-1)
+    for i in range(50):
+        if not np.isfinite(q[i]).all():
+            continue
+        want = {j for j in np.where(d2[i] < 0.25)[0] if j not in bad}
+        got = set(out[i][out[i] < 500].tolist())
+        assert got == set(sorted(want, key=lambda j: d2[i][j])[:16])
+    # all supports non-finite: every row is shadow
+    s2 = np.full((10, 3), np.nan, np.float32)
+    out2 = native.radius_neighbors(q[:5], s2, 0.5, 4)
+    assert (out2 == 10).all()
+
+
 def test_radius_query_2d(rng):
     pts = rng.uniform(-20, 20, size=(300, 2)).astype(np.float32)
     idx = native.radius_query_2d(pts, 1.0, -2.0, 5.0)

@@ -226,9 +226,41 @@ class TestWholeModelParity:
                                        rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.parametrize("g", [1, 2, 3, 4, 5, 6, 7])
+def test_grouped_fold_every_group_size_matches(monkeypatch, g):
+    """The y-group fold is exact for EVERY group size, divisor of k or not
+    (g=5/6 for k=7 need the non-divisor extra y pad — a round-2 bug at the
+    top y border), with sites forced onto every y-border corner."""
+    from dpcr_agb_tpu.ops import sparse_stem
+    monkeypatch.setattr(sparse_stem, "_pick_group",
+                        lambda *a, **kw: g)
+    rng = np.random.default_rng(11)
+    dims = (10, 9, 8)
+    coords, mask = _random_sites(rng, dims, 33, 48)
+    # force y-border sites (y = h-1) where the last group overflows
+    d, h, w = dims
+    border = np.array([[0, h - 1, 0], [d - 1, h - 1, w - 1],
+                       [3, h - 1, 4], [5, h - 1, 0], [d - 1, h - 1, 0],
+                       [0, h - 1, w - 1], [2, h - 2, 3], [7, h - 1, 2]],
+                      np.int32)
+    coords = jnp.asarray(np.concatenate(
+        [np.asarray(coords)[:33], border,
+         np.zeros((48 - 33 - len(border), 3), np.int32)]))
+    mask = jnp.asarray(np.arange(48) < 33 + len(border))
+    feats = jnp.asarray(rng.normal(size=(48, 3)), jnp.float32)
+    feats = jnp.where(mask[:, None], feats, 0.0)
+    w7 = jnp.asarray(rng.normal(size=(343, 3, 6)) * 0.1, jnp.float32)
+    dense, occ = scatter_to_dense(coords, mask, feats, dims)
+    want = gather_from_dense(dense_conv(dense[None], occ[None], w7, 7)[0],
+                             coords, mask)
+    got = stem_conv_sparse(coords, mask, feats, dims, w7, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("budget", [10**12, 40_000, 1])
 def test_grouped_fold_budgets_match(monkeypatch, budget):
-    """The y-group fold (g=k down to g=1 under a tiny budget) is exact."""
+    """The budget-driven group pick is exact end-to-end."""
     from dpcr_agb_tpu.ops import sparse_stem
     monkeypatch.setattr(sparse_stem, "FOLD_BYTES_BUDGET", budget)
     rng = np.random.default_rng(11)
