@@ -421,7 +421,14 @@ class SparseResNet(nn.Module):
                                name="stem_norm")(
                 h_rows, mask, use_running_average=not train)
             h_rows = act(h_rows) * mask[..., None].astype(h_rows.dtype)
-            if SPARSE_POOL_MODE == "dense":
+            if SPARSE_POOL_MODE == "scattermax":
+                # pool rows straight into the L1 volume (1..8 parent cells
+                # per site): no full-res 64ch volume, no reduce_window, no
+                # select_and_scatter backward
+                from ..ops.sparse_stem import scatter_max_pool_batch
+                h, occ_l = scatter_max_pool_batch(coords, mask, h_rows,
+                                                  dims)
+            elif SPARSE_POOL_MODE == "dense":
                 # scatter the (BN'd, activated) rows back to the full-res
                 # volume and pool densely: the dense pool fwd+bwd measured
                 # cheaper than 27-row gathers + scatter-add backward

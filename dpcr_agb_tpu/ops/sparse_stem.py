@@ -32,14 +32,17 @@ so the formulation above minimizes ROW COUNT, not bytes. The naive
 batch-flattened table (`batched_rows`).
 
 The first maxpool (kernel 3, stride 2 — Minkowski MaxPool semantics as in
-ops/dense_grid.dense_max_pool) has two modes (DPCR_SPARSE_POOL):
+ops/dense_grid.dense_max_pool) has three modes (DPCR_SPARSE_POOL):
 "dense" (default) scatters the BN'd/activated rows back to the volume
 and uses reduce_window — its select_and_scatter backward measured
 cheaper than row-space scatter-adds; "rows" builds a [B,V1,27] neighbor
 map from a z+y-folded int32 row-index volume and maxes gathered rows
 (max_pool_sparse), trading the volume for ~170 ms of gather/scatter at
-bs16. Whole-step bench: sparse L0 (g=4, dense pool) 66.5 plots/s vs
-56.3 dense at bs16.
+bs16; "scattermax" (scatter_max_pool_batch) pools rows straight into the
+L1 volume via a 1..8-parent scatter-max — no full-res 64ch volume, no
+reduce_window, no select_and_scatter backward (2M scatter rows at bs16
+vs a 1.3 GB volume round-trip). Whole-step bench: sparse L0 (g=4, dense
+pool) 66.5 plots/s vs 56.3 dense at bs16; g=7 69.1.
 """
 from __future__ import annotations
 
@@ -268,6 +271,69 @@ def max_pool_sparse(h_rows: jnp.ndarray, nbr: jnp.ndarray,
     out = jnp.max(g, axis=2)
     any_real = jnp.any(nbr < v, axis=-1)
     return jnp.where((any_real & mask1)[..., None], out, 0.0)
+
+
+def scatter_max_pool_batch(coords: jnp.ndarray, mask: jnp.ndarray,
+                           h_rows: jnp.ndarray, dims: Sequence[int],
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Minkowski MaxPool (kernel 3, stride 2) evaluated as ONE scatter-max
+    from L0 rows directly into the L1 volume — no full-resolution volume,
+    no reduce_window, no select_and_scatter backward.
+
+    Each L0 site x contributes to the L1 sites u with |x - 2u|_inf <= 1,
+    i.e. u_d in {x_d//2, (x_d+1)//2} per axis: 1..8 parents (8 static
+    slots; duplicate slots where the two parents coincide are masked so
+    the scatter-max VJP cannot double-route through identical updates).
+    A companion channel rides along: a stride indicator scattered only in
+    the all-lo slot (= x//2 = Minkowski's output-site set), whose cell max
+    reproduces occupancy_pool exactly.
+
+    Returns (pooled [B,d1,h1,w1,C] masked to occupied output sites,
+    occ [B,d1,h1,w1,1]). Gradient note: exact value ties between
+    DIFFERENT rows in one window split the cotangent across all
+    maximizers (scatter-max VJP) where select_and_scatter picks one —
+    measure-zero for real activations; the parity test uses distinct
+    values."""
+    d, h, w = dims
+    d1, h1, w1 = -(-d // 2), -(-h // 2), -(-w // 2)
+    b, v = mask.shape
+    c = h_rows.shape[-1]
+    s1 = d1 * h1 * w1
+    cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    lo = cc // 2                                   # ceil((x-1)/2) = x//2
+    hi = (cc + 1) // 2                             # floor((x+1)/2)
+    us, valids = [], []
+    for bits in range(8):
+        pick = [(bits >> a) & 1 for a in range(3)]
+        u = jnp.stack([jnp.where(pick[a] == 1, hi[..., a], lo[..., a])
+                       for a in range(3)], axis=-1)        # [B,V,3]
+        dup = jnp.zeros(mask.shape, bool)
+        for a in range(3):
+            if pick[a]:
+                dup = dup | (hi[..., a] == lo[..., a])
+        in_b = jnp.all(u < jnp.asarray([d1, h1, w1]), axis=-1)
+        us.append(u)
+        valids.append(mask & in_b & ~dup)
+    u8 = jnp.stack(us, axis=2)                              # [B,V,8,3]
+    valid = jnp.stack(valids, axis=2)                       # [B,V,8]
+    flat = (u8[..., 0] * h1 + u8[..., 1]) * w1 + u8[..., 2]
+    flat = flat + (jnp.arange(b, dtype=flat.dtype) * s1)[:, None, None]
+    flat = jnp.where(valid, flat, b * s1)                   # dump row
+    stride_one = ((jnp.arange(8) == 0)[None, None, :] & mask[..., None]
+                  ).astype(h_rows.dtype)                    # [B,V,8]
+    payload = jnp.concatenate(
+        [jnp.broadcast_to(h_rows[:, :, None, :], (b, v, 8, c)),
+         stride_one[..., None]], axis=-1)
+    payload = jnp.where(valid[..., None], payload,
+                        jnp.asarray(-jnp.inf, h_rows.dtype))
+    table = jnp.full((b * s1 + 1, c + 1), -jnp.inf, h_rows.dtype)
+    table = table.at[flat.reshape(-1)].max(
+        payload.reshape(b * v * 8, c + 1), mode="drop")
+    dense = table[: b * s1].reshape(b, d1, h1, w1, c + 1)
+    occ = (dense[..., -1:] > 0).astype(h_rows.dtype)
+    occ = jax.lax.stop_gradient(occ)
+    pooled = jnp.where(occ > 0, dense[..., :c], 0.0)
+    return pooled, occ
 
 
 # ---- per-sample wrappers (parity-test surface) -----------------------------

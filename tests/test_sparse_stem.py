@@ -90,6 +90,82 @@ def test_sparse_pool_matches_dense_max_pool():
     assert int(grid1.mask.sum()) == int(occ1.sum())
 
 
+def test_scatter_max_pool_matches_dense():
+    """scatter_max_pool_batch == scatter-to-dense + occupancy_pool +
+    dense_max_pool: full L1 volumes (values, zeros at unoccupied sites)
+    and occupancy, plus gradient parity through both formulations."""
+    from dpcr_agb_tpu.ops.sparse_stem import scatter_max_pool_batch
+    rng = np.random.default_rng(5)
+    dims = (11, 10, 9)
+    cs, ms, fs = [], [], []
+    for b, n_occ in ((0, 47), (1, 21), (2, 64)):
+        c_, m_ = _random_sites(np.random.default_rng(50 + b), dims, n_occ, 64)
+        cs.append(c_), ms.append(m_)
+        f_ = jnp.asarray(rng.normal(size=(64, 6)), jnp.float32)
+        fs.append(jnp.where(m_[:, None], f_, 0.0))
+    coords, mask = jnp.stack(cs), jnp.stack(ms)
+    feats = jnp.stack(fs)
+
+    def dense_ref(f):
+        dense, occ = jax.vmap(
+            lambda c, m, x: scatter_to_dense(c, m, x, dims))(coords, mask, f)
+        occ1 = occupancy_pool(occ)
+        return dense_max_pool(dense, occ, occ1), occ1
+
+    def sparse(f):
+        return scatter_max_pool_batch(coords, mask, f, dims)
+
+    want, occ_want = dense_ref(feats)
+    got, occ_got = sparse(feats)
+    np.testing.assert_array_equal(np.asarray(occ_got > 0),
+                                  np.asarray(occ_want > 0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    ct = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+    g_want = jax.grad(lambda f: jnp.sum(dense_ref(f)[0] * ct))(feats)
+    g_got = jax.grad(lambda f: jnp.sum(sparse(f)[0] * ct))(feats)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_scatter_max_pool_whole_model(monkeypatch):
+    """SENet14 with DPCR_SPARSE_POOL=scattermax matches the dense-L0
+    execution (shared params)."""
+    from dpcr_agb_tpu.models.minkowski import build_resnet
+    from dpcr_agb_tpu.ops import dense_grid
+
+    class _DS:
+        num_reg_classes = 2
+    net = build_resnet("SENet14", {
+        "activation": "gelu", "first_stride": 1, "global_pool": "sum",
+        "drop_path": 0.0,
+        "extra_options": {"dense_dims": [16, 16, 16]}}, _DS(), None)
+    rng = np.random.default_rng(31)
+    b = TestWholeModelParity()._batch(rng)
+    monkeypatch.setattr(dense_grid, "L0_MODE", "dense")
+    variables = net.init(jax.random.PRNGKey(0), b, train=False)
+    out_dense = net.apply(variables, b, train=False)
+    monkeypatch.setattr(dense_grid, "L0_MODE", "sparse")
+    monkeypatch.setattr(dense_grid, "SPARSE_POOL_MODE", "scattermax")
+    out_sm = net.apply(variables, b, train=False)
+    np.testing.assert_allclose(np.asarray(out_sm), np.asarray(out_dense),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(p, variables=variables):
+        return jnp.sum(net.apply({**variables, "params": p}, b,
+                                 train=False) ** 2)
+    g_sm = jax.grad(loss)(variables["params"])
+    monkeypatch.setattr(dense_grid, "SPARSE_POOL_MODE", "dense")
+    g_dense = jax.grad(loss)(variables["params"])
+
+    def _cmp(path, gd, gs):
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gd), rtol=5e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path))
+    jax.tree_util.tree_map_with_path(_cmp, g_dense, g_sm)
+
+
 def test_sparse_stem_empty_sample():
     dims = (8, 8, 8)
     coords = jnp.zeros((16, 3), jnp.int32)
