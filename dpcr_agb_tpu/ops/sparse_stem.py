@@ -109,6 +109,14 @@ def _fold_z(vol: jnp.ndarray, k: int, pad_value=0) -> jnp.ndarray:
 # vs 66.5 plots/s at g=4) while degrading to g=2 at bs32
 FOLD_BYTES_BUDGET = int(os.environ.get("DPCR_FOLD_BYTES", 3_500_000_000))
 
+# Process the stem's fold+gather in this many batch sub-chunks (lax.map):
+# the folded table is TRANSIENT, so chunking divides its HBM footprint by
+# the chunk count — which in turn lets _pick_group keep g=k (fewest gather
+# rows) at batch sizes whose full-batch fold would blow the budget (bs32
+# degraded to g=2 in round 2). Row count is unchanged; only table
+# residency shrinks. Must divide the batch size.
+FOLD_CHUNKS = int(os.environ.get("DPCR_FOLD_CHUNKS", 1))
+
 
 def _fold_geometry(h: int, k: int, g: int) -> Tuple[int, int]:
     """(extra y pad e, folded y-extent h2) for a y-group fold of size g.
@@ -207,6 +215,26 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
     weights [K^3,Cin,Cout] in hypercube order (z fastest).
     Returns [B,V,Cout] in compute_dtype (MXU f32 accumulate -> cast,
     mirroring dense_conv)."""
+    k = kernel_size
+    cin, cout = weights.shape[-2], weights.shape[-1]
+    d, h, w = dims
+    b, v = mask.shape
+    if FOLD_CHUNKS > 1 and b % FOLD_CHUNKS == 0 and b > FOLD_CHUNKS:
+        bc = b // FOLD_CHUNKS
+        y = jax.lax.map(
+            lambda args: _stem_conv_core(
+                args[0], args[1], args[2], dims, weights, kernel_size,
+                compute_dtype),
+            (coords.reshape(FOLD_CHUNKS, bc, v, 3),
+             mask.reshape(FOLD_CHUNKS, bc, v),
+             feats.reshape(FOLD_CHUNKS, bc, v, -1)))
+        return y.reshape(b, v, cout)
+    return _stem_conv_core(coords, mask, feats, dims, weights, kernel_size,
+                           compute_dtype)
+
+
+def _stem_conv_core(coords, mask, feats, dims, weights, kernel_size,
+                    compute_dtype):
     k = kernel_size
     cin, cout = weights.shape[-2], weights.shape[-1]
     d, h, w = dims

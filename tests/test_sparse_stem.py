@@ -90,6 +90,34 @@ def test_sparse_pool_matches_dense_max_pool():
     assert int(grid1.mask.sum()) == int(occ1.sum())
 
 
+def test_fold_chunks_match_unchunked(monkeypatch):
+    """DPCR_FOLD_CHUNKS=2 (lax.map over batch halves) is exact vs the
+    unchunked batch form, values and dW."""
+    from dpcr_agb_tpu.ops import sparse_stem
+    rng = np.random.default_rng(17)
+    dims = (10, 9, 8)
+    cs, ms = zip(*[_random_sites(np.random.default_rng(60 + i), dims, 29, 40)
+                   for i in range(4)])
+    coords, mask = jnp.stack(cs), jnp.stack(ms)
+    feats = jnp.asarray(rng.normal(size=(4, 40, 3)), jnp.float32)
+    feats = jnp.where(mask[..., None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(343, 3, 6)) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(4, 40, 6)), jnp.float32)
+
+    def loss(wi):
+        y = sparse_stem.stem_conv_sparse_batch(coords, mask, feats, dims,
+                                               wi, 7)
+        return jnp.sum(y * ct), y
+
+    (l1, y1), g1 = jax.value_and_grad(loss, has_aux=True)(w)
+    monkeypatch.setattr(sparse_stem, "FOLD_CHUNKS", 2)
+    (l2, y2), g2 = jax.value_and_grad(loss, has_aux=True)(w)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_scatter_max_pool_matches_dense():
     """scatter_max_pool_batch == scatter-to-dense + occupancy_pool +
     dense_max_pool: full L1 volumes (values, zeros at unoccupied sites)
