@@ -76,8 +76,13 @@ def main():
 
     batch = _batch()
     r = {}
-    truncs = [(0, 0, 0, 0), (1, 0, 0, 0), (1, 1, 0, 0), (1, 1, 1, 0),
-              (1, 1, 1, 1)]
+    # DPCR_BREAKDOWN_FAST: each full-model compile costs ~25-35 min through
+    # the axon tunnel, so the fast mode keeps only the L0-isolating
+    # truncation, the full arch, and the dense-L0 reference.
+    fast = bool(int(os.environ.get("DPCR_BREAKDOWN_FAST", "0")))
+    truncs = ([(0, 0, 0, 0), (1, 1, 1, 1)] if fast else
+              [(0, 0, 0, 0), (1, 0, 0, 0), (1, 1, 0, 0), (1, 1, 1, 0),
+               (1, 1, 1, 1)])
     prev = None
     for t in truncs:
         ms = time_net(_net(t), batch)
@@ -86,16 +91,21 @@ def main():
         print(f"value+grad layers={t}: {ms:8.2f} ms{delta}")
         prev = ms
 
-    # dense L0 reference at the full arch
-    dense_grid.L0_MODE = "dense"
-    try:
-        ms = time_net(_net((1, 1, 1, 1)), batch)
-        r["vg_dense_l0"] = ms
-        print(f"value+grad dense-L0 full : {ms:8.2f} ms")
-    finally:
-        dense_grid.L0_MODE = "sparse"
+    # dense L0 reference at the full arch (skipped in fast mode: the
+    # full-step dense number 56.3 plots/s is already on record)
+    if not fast:
+        dense_grid.L0_MODE = "dense"
+        try:
+            ms = time_net(_net((1, 1, 1, 1)), batch)
+            r["vg_dense_l0"] = ms
+            print(f"value+grad dense-L0 full : {ms:8.2f} ms")
+        finally:
+            dense_grid.L0_MODE = "sparse"
 
     # full train step (fwd+bwd+clip+AdaBelief) via StepRunner for reference
+    if fast:
+        print(json.dumps(r))
+        return
     import optax
     from dpcr_agb_tpu.models.base import InstanceSpec
     from dpcr_agb_tpu.training.optim import (adabelief,
