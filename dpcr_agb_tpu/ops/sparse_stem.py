@@ -327,6 +327,11 @@ def scatter_max_pool_batch(coords: jnp.ndarray, mask: jnp.ndarray,
     b, v = mask.shape
     c = h_rows.shape[-1]
     s1 = d1 * h1 * w1
+    # out-of-bounds coords are DROPPED, matching scatter_to_dense_batch
+    # (the dense reference never sees them either)
+    in_vol = jnp.all((coords >= 0) & (coords < jnp.asarray([d, h, w])),
+                     axis=-1)
+    mask = mask & in_vol
     cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
     lo = cc // 2                                   # ceil((x-1)/2) = x//2
     hi = (cc + 1) // 2                             # floor((x+1)/2)

@@ -132,6 +132,9 @@ def test_scatter_max_pool_matches_dense():
         f_ = jnp.asarray(rng.normal(size=(64, 6)), jnp.float32)
         fs.append(jnp.where(m_[:, None], f_, 0.0))
     coords, mask = jnp.stack(cs), jnp.stack(ms)
+    # an out-of-bounds coord that is masked IN: both formulations must
+    # drop it (scatter_to_dense_batch semantics)
+    coords = coords.at[0, 0].set(jnp.asarray([dims[0] + 3, -2, 1]))
     feats = jnp.stack(fs)
 
     def dense_ref(f):
