@@ -84,12 +84,19 @@ def main():
               [(0, 0, 0, 0), (1, 0, 0, 0), (1, 1, 0, 0), (1, 1, 1, 0),
                (1, 1, 1, 1)])
     prev = None
+    prev_n = None
     for t in truncs:
         ms = time_net(_net(t), batch)
         r[f"vg_layers{sum(t)}"] = ms
-        delta = "" if prev is None else f"  (stage{sum(t)} += {ms - prev:.1f})"
+        if prev is None:
+            delta = ""
+        elif sum(t) - prev_n == 1:
+            delta = f"  (stage{sum(t)} += {ms - prev:.1f})"
+        else:
+            delta = (f"  (stages{prev_n + 1}-{sum(t)} += {ms - prev:.1f} "
+                     "combined)")
         print(f"value+grad layers={t}: {ms:8.2f} ms{delta}")
-        prev = ms
+        prev, prev_n = ms, sum(t)
 
     # dense L0 reference at the full arch (skipped in fast mode: the
     # full-step dense number 56.3 plots/s is already on record)

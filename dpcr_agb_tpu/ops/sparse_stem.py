@@ -215,11 +215,15 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
     weights [K^3,Cin,Cout] in hypercube order (z fastest).
     Returns [B,V,Cout] in compute_dtype (MXU f32 accumulate -> cast,
     mirroring dense_conv)."""
-    k = kernel_size
-    cin, cout = weights.shape[-2], weights.shape[-1]
-    d, h, w = dims
+    cout = weights.shape[-1]
     b, v = mask.shape
-    if FOLD_CHUNKS > 1 and b % FOLD_CHUNKS == 0 and b > FOLD_CHUNKS:
+    if FOLD_CHUNKS > 1:
+        if b % FOLD_CHUNKS != 0 or b == FOLD_CHUNKS:
+            raise ValueError(
+                f"DPCR_FOLD_CHUNKS={FOLD_CHUNKS} must divide the batch "
+                f"size (got {b}) and leave >1 sample per chunk — refusing "
+                "to fall back silently (the unchunked fold has a different "
+                "memory/group-size profile)")
         bc = b // FOLD_CHUNKS
         y = jax.lax.map(
             lambda args: _stem_conv_core(
@@ -263,10 +267,15 @@ def pool_neighbor_map_batch(coords0: jnp.ndarray, mask0: jnp.ndarray,
 
     Built from a dense int32 row-index volume (z-folded like the stem):
     one flat scatter + one batch-flattened [B,V1,9]-row gather — no
-    per-offset searchsorted."""
+    per-offset searchsorted. Out-of-bounds level-0 coords never enter any
+    window (scatter_to_dense_batch drop semantics)."""
     d, h, w = dims
     b, v0 = mask0.shape
     s = d * h * w
+    # out-of-bounds coords are DROPPED, matching scatter_to_dense_batch
+    in_vol = jnp.all((coords0 >= 0) & (coords0 < jnp.asarray([d, h, w])),
+                     axis=-1)
+    mask0 = mask0 & in_vol
     cc = jnp.clip(coords0, 0, jnp.asarray([d - 1, h - 1, w - 1]))
     flat_idx = (cc[..., 0] * h + cc[..., 1]) * w + cc[..., 2]
     gidx = flat_idx + (jnp.arange(b, dtype=flat_idx.dtype) * s)[:, None]

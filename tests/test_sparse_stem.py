@@ -90,6 +90,26 @@ def test_sparse_pool_matches_dense_max_pool():
     assert int(grid1.mask.sum()) == int(occ1.sum())
 
 
+def test_pool_neighbor_map_drops_oob():
+    """An out-of-bounds L0 coord that is masked IN must never appear in
+    any pool window (scatter_to_dense_batch drop semantics; rows mode)."""
+    from dpcr_agb_tpu.ops.sparse_stem import pool_neighbor_map_batch
+    rng = np.random.default_rng(41)
+    dims = (10, 10, 8)
+    coords, mask = _random_sites(rng, dims, 30, 40)
+    oob_row = 3
+    coords = coords.at[oob_row].set(jnp.asarray([dims[0] + 1, 0, 0]))
+    # L1 grid covering everything
+    d1 = tuple(-(-x // 2) for x in dims)
+    g1 = np.stack(np.meshgrid(*[np.arange(x) for x in d1],
+                              indexing="ij"), -1).reshape(-1, 3)
+    c1 = jnp.asarray(g1, jnp.int32)
+    m1 = jnp.ones((len(g1),), bool)
+    nbr = pool_neighbor_map_batch(coords[None], mask[None], c1[None],
+                                  m1[None], dims)[0]
+    assert not np.any(np.asarray(nbr) == oob_row)
+
+
 def test_fold_chunks_match_unchunked(monkeypatch):
     """DPCR_FOLD_CHUNKS=2 (lax.map over batch halves) is exact vs the
     unchunked batch form, values and dW."""
