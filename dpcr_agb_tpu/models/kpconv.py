@@ -46,6 +46,7 @@ from flax import linen as nn
 
 from ..nn.blocks import ACTIVATIONS, SeparateLinear, TorchLinear
 from ..nn.norm import MaskedBatchNorm
+from ..ops import layout
 from ..ops.kernel_points import load_kernel_points
 from ..ops.masked import masked_mean, masked_sum
 from ..ops.neighbors import grid_subsample, radius_neighbors
@@ -60,8 +61,13 @@ def _batched_rows(x_pad, nbr):
     the batch-flattened table (faster on TPU than the vmapped per-sample 3D
     gather; honest chained timing on v5e: 9.5 ms for the 1.3 GB level-0
     gather at bs8/16384/K40/C64 — and bf16 rows are SLOWER, 12 ms: the
-    gather is row-count-bound, not byte-bound)."""
+    gather is row-count-bound, not byte-bound). Under a data-parallel mesh
+    the per-sample form is used instead so GSPMD can shard it with zero
+    communication (ops/layout.py)."""
     b, n, c = x_pad.shape
+    if layout.BATCH_LOCAL:
+        return jax.vmap(lambda t, i: t[i.reshape(-1)].reshape(*i.shape, c))(
+            x_pad, nbr)
     idx = nbr + (jnp.arange(b, dtype=nbr.dtype) * n)[:, None, None]
     return x_pad.reshape(b * n, c)[idx.reshape(-1)].reshape(*nbr.shape, c)
 

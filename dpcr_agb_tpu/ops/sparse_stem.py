@@ -53,6 +53,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import layout
+
 
 def batched_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table [R,C], idx [...] flat int32 -> [..., C]: the TPU-fast flat
@@ -60,7 +62,27 @@ def batched_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return table[idx.reshape(-1)].reshape(*idx.shape, table.shape[-1])
 
 
-def scatter_to_dense_batch(coords: jnp.ndarray, mask: jnp.ndarray,
+def _per_sample(op_batch, n_arrays: int, *args):
+    """Run a [B,...]-batched op as vmap of its b=1 form: the batch dim
+    stays explicit through every scatter/gather, which GSPMD partitions
+    over the data axis with zero communication (ops/layout.py). The first
+    n_arrays args are batched arrays; the rest are static/shared."""
+    arrays, rest = args[:n_arrays], args[n_arrays:]
+    out = jax.vmap(lambda *a: op_batch(*[x[None] for x in a], *rest))(
+        *arrays)
+    return jax.tree.map(lambda y: y[:, 0], out)
+
+
+def scatter_to_dense_batch(coords, mask, feats, dims):
+    """[B,V,3]+[B,V]+[B,V,C] -> dense [B,D,H,W,C] + occupancy [B,D,H,W,1];
+    batch-flattened or per-sample per ops/layout.py."""
+    if layout.BATCH_LOCAL:
+        return _per_sample(_scatter_to_dense_impl, 3, coords, mask, feats,
+                           dims)
+    return _scatter_to_dense_impl(coords, mask, feats, dims)
+
+
+def _scatter_to_dense_impl(coords: jnp.ndarray, mask: jnp.ndarray,
                            feats: jnp.ndarray, dims: Sequence[int],
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batch-flattened scatter_to_dense: one flat row scatter instead of a
@@ -135,6 +157,8 @@ def _fold_geometry(h: int, k: int, g: int) -> Tuple[int, int]:
 def _pick_group(k: int, cin: int, dims, b: int, itemsize: int) -> int:
     d, h, w = dims
     p = k // 2
+    # the traced b is the GLOBAL batch; the fold table lives per device
+    b = -(-b // layout.DATA_PARALLEL_DEGREE)
     for g in range(k, 0, -1):
         _, h2 = _fold_geometry(h, k, g)
         nbytes = b * (d + 2 * p) * h2 * w * g * k * cin * itemsize
@@ -217,6 +241,13 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
     mirroring dense_conv)."""
     cout = weights.shape[-1]
     b, v = mask.shape
+    if layout.BATCH_LOCAL:
+        # group size from the true per-device batch (b=1 inside the vmap
+        # lane would overestimate the budget headroom)
+        g = _pick_group(kernel_size, feats.shape[-1], dims, b,
+                        np.dtype(compute_dtype).itemsize)
+        return _per_sample(_stem_conv_core, 3, coords, mask, feats, dims,
+                           weights, kernel_size, compute_dtype, g)
     if FOLD_CHUNKS > 1:
         if b % FOLD_CHUNKS != 0 or b == FOLD_CHUNKS:
             raise ValueError(
@@ -238,14 +269,15 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
 
 
 def _stem_conv_core(coords, mask, feats, dims, weights, kernel_size,
-                    compute_dtype):
+                    compute_dtype, g=None):
     k = kernel_size
     cin, cout = weights.shape[-2], weights.shape[-1]
     d, h, w = dims
     b, v = mask.shape
-    dense, _ = scatter_to_dense_batch(coords, mask,
+    dense, _ = _scatter_to_dense_impl(coords, mask,
                                       feats.astype(compute_dtype), dims)
-    g = _pick_group(k, cin, dims, b, np.dtype(compute_dtype).itemsize)
+    if g is None:
+        g = _pick_group(k, cin, dims, b, np.dtype(compute_dtype).itemsize)
     n_g = -(-k // g)
     folded = _fold_zy(dense, k, g)
     flat = folded.reshape(-1, g * k * cin)
@@ -259,7 +291,14 @@ def _stem_conv_core(coords, mask, feats, dims, weights, kernel_size,
     return jnp.where(mask[..., None], y, 0.0).astype(compute_dtype)
 
 
-def pool_neighbor_map_batch(coords0: jnp.ndarray, mask0: jnp.ndarray,
+def pool_neighbor_map_batch(coords0, mask0, coords1, mask1, dims):
+    if layout.BATCH_LOCAL:
+        return _per_sample(_pool_neighbor_map_impl, 4, coords0, mask0,
+                           coords1, mask1, dims)
+    return _pool_neighbor_map_impl(coords0, mask0, coords1, mask1, dims)
+
+
+def _pool_neighbor_map_impl(coords0: jnp.ndarray, mask0: jnp.ndarray,
                             coords1: jnp.ndarray, mask1: jnp.ndarray,
                             dims: Sequence[int]) -> jnp.ndarray:
     """[B,V1,27] LOCAL row indices into each sample's level-0 rows for the
@@ -293,8 +332,14 @@ def pool_neighbor_map_batch(coords0: jnp.ndarray, mask0: jnp.ndarray,
     return jnp.where(mask1[..., None], nbr, v0)
 
 
-def max_pool_sparse(h_rows: jnp.ndarray, nbr: jnp.ndarray,
-                    mask1: jnp.ndarray) -> jnp.ndarray:
+def max_pool_sparse(h_rows, nbr, mask1):
+    if layout.BATCH_LOCAL:
+        return _per_sample(_max_pool_sparse_impl, 3, h_rows, nbr, mask1)
+    return _max_pool_sparse_impl(h_rows, nbr, mask1)
+
+
+def _max_pool_sparse_impl(h_rows: jnp.ndarray, nbr: jnp.ndarray,
+                          mask1: jnp.ndarray) -> jnp.ndarray:
     """Masked max over gathered level-0 rows: h_rows [B,V,C], nbr [B,V1,27]
     local indices (V = shadow) -> [B,V1,C]. Shadow rows contribute -inf;
     sites with no real neighbor (can't happen for true L1 sites) and
@@ -310,7 +355,14 @@ def max_pool_sparse(h_rows: jnp.ndarray, nbr: jnp.ndarray,
     return jnp.where((any_real & mask1)[..., None], out, 0.0)
 
 
-def scatter_max_pool_batch(coords: jnp.ndarray, mask: jnp.ndarray,
+def scatter_max_pool_batch(coords, mask, h_rows, dims):
+    if layout.BATCH_LOCAL:
+        return _per_sample(_scatter_max_pool_impl, 3, coords, mask, h_rows,
+                           dims)
+    return _scatter_max_pool_impl(coords, mask, h_rows, dims)
+
+
+def _scatter_max_pool_impl(coords: jnp.ndarray, mask: jnp.ndarray,
                            h_rows: jnp.ndarray, dims: Sequence[int],
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minkowski MaxPool (kernel 3, stride 2) evaluated as ONE scatter-max

@@ -7,6 +7,13 @@ replicated, and XLA inserts the gradient/BN-moment collectives over ICI
 (gradient psum = the DataParallel gather, but compiler-scheduled). Model
 axes (tensor parallel etc.) are unnecessary at these model sizes
 (SURVEY.md §2.10) but the mesh API accepts extra axes for forward-compat.
+
+Layout note: whenever a StepRunner holds a mesh it flips
+`ops/layout.BATCH_LOCAL` so every batch-flattened scatter/gather switches
+to its batch-dim-preserving form — GSPMD partitions those along 'data'
+with zero communication, where the flattened forms forced table-sized
+all-reduces (tests/test_parallel.py asserts the compiled step's
+collectives stay gradient-sized).
 """
 from __future__ import annotations
 

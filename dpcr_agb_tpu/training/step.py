@@ -122,6 +122,13 @@ class StepRunner:
     regularizer: Optional[Callable] = None
 
     def __post_init__(self):
+        # under a mesh, switch scatters/gathers to the batch-dim-preserving
+        # layout BEFORE any trace (ops/layout.py: the batch-flattened forms
+        # force GSPMD to replicate their tables through giant collectives)
+        from ..ops import layout
+        layout.set_batch_local(self.mesh is not None,
+                               self.mesh.devices.size
+                               if self.mesh is not None else 1)
         self._train_step = make_train_step(self.net, self.spec, self.tx,
                                            self.mesh, self.regularizer,
                                            self.seed)

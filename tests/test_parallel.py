@@ -1,0 +1,115 @@
+"""Data-parallel mesh behavior: batch-local op layout and the compiled
+program's collective inventory (SURVEY.md §2.10/§5.8 — the DataParallel
+equivalent must ride gradient psums, not table-sized transfers)."""
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpcr_agb_tpu.ops import layout
+
+
+@pytest.fixture
+def batch_local(monkeypatch):
+    monkeypatch.setattr(layout, "BATCH_LOCAL", True)
+    monkeypatch.setattr(layout, "DATA_PARALLEL_DEGREE", 8)
+    yield
+
+
+def _sites(seed, dims, n_occ, cap):
+    rng = np.random.default_rng(seed)
+    d, h, w = dims
+    flat = rng.choice(d * h * w, size=n_occ, replace=False)
+    c = np.stack([flat // (h * w), (flat // w) % h, flat % w], 1)
+    out = np.zeros((cap, 3), np.int32)
+    out[:n_occ] = c
+    return jnp.asarray(out), jnp.asarray(np.arange(cap) < n_occ)
+
+
+def test_batch_local_ops_match_flat(batch_local):
+    """Every dispatched op is EXACT under the vmapped per-sample layout."""
+    from dpcr_agb_tpu.ops import sparse_stem as ss
+    dims = (10, 9, 8)
+    cs, ms = zip(*[_sites(70 + i, dims, 25, 40) for i in range(4)])
+    coords, mask = jnp.stack(cs), jnp.stack(ms)
+    rng = np.random.default_rng(3)
+    feats = jnp.where(mask[..., None],
+                      jnp.asarray(rng.normal(size=(4, 40, 3)), jnp.float32),
+                      0.0)
+    w = jnp.asarray(rng.normal(size=(343, 3, 6)) * 0.1, jnp.float32)
+
+    assert layout.BATCH_LOCAL
+    got_y = ss.stem_conv_sparse_batch(coords, mask, feats, dims, w, 7)
+    got_d, got_o = ss.scatter_to_dense_batch(coords, mask, feats, dims)
+    h64 = jnp.where(mask[..., None],
+                    jnp.asarray(rng.normal(size=(4, 40, 6)), jnp.float32), 0.0)
+    got_p, got_po = ss.scatter_max_pool_batch(coords, mask, h64, dims)
+
+    layout.BATCH_LOCAL = False
+    want_y = ss.stem_conv_sparse_batch(coords, mask, feats, dims, w, 7)
+    want_d, want_o = ss.scatter_to_dense_batch(coords, mask, feats, dims)
+    want_p, want_po = ss.scatter_max_pool_batch(coords, mask, h64, dims)
+    layout.BATCH_LOCAL = True
+
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(want_o))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    np.testing.assert_array_equal(np.asarray(got_po), np.asarray(want_po))
+
+
+@pytest.mark.slow
+def test_mesh_step_collectives_are_gradient_sized():
+    """The compiled 8-device train step's collectives must all be
+    parameter-gradient sized — a table-sized all-reduce/all-gather means
+    GSPMD replicated a batch-flattened scatter/gather table (the round-2
+    bug this guards against: a [B*D*H*W, C] all-reduce per step)."""
+    import optax
+
+    from __graft_entry__ import _example_batch, _flagship
+    from dpcr_agb_tpu.models.base import InstanceSpec
+    from dpcr_agb_tpu.parallel.mesh import make_mesh, shard_batch
+    from dpcr_agb_tpu.training.optim import (
+        adabelief, cosine_annealing_warm_restarts)
+    from dpcr_agb_tpu.training.step import StepRunner
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual platform")
+    mesh = make_mesh(8)
+    net = _flagship(dense_dims=(16, 16, 16))
+    spec = InstanceSpec(
+        num_reg_targets=2, scale=np.array([50.0, 80.0], np.float32),
+        center=np.array([100.0, 150.0], np.float32),
+        weights=np.array([0.5, 0.5], np.float32))
+    tx = optax.chain(optax.clip(100.0),
+                     adabelief(cosine_annealing_warm_restarts(5e-3, 10, 2),
+                               weight_decay=1e-2))
+    runner = StepRunner(net=net, spec=spec, tx=tx, mesh=mesh, seed=0)
+    batch = shard_batch(mesh, _example_batch(bs=16, n_voxels=512, grid=16))
+    state = runner.init_state(batch)
+    hlo = runner._train_step.lower(
+        state.params, state.batch_stats, state.opt_state, batch,
+        np.int32(0)).compile().as_text()
+
+    max_param = max(x.size for x in jax.tree.leaves(state.params))
+    offenders = []
+    for line in hlo.splitlines():
+        for op in ("all-gather", "all-reduce", "collective-permute",
+                   "all-to-all"):
+            if op in line and "=" in line:
+                m = re.search(r"\[([0-9,]+)\]", line)
+                if not m:
+                    continue
+                n = 1
+                for x in m.group(1).split(","):
+                    n *= int(x)
+                if n > max_param:
+                    offenders.append((n, line.strip()[:120]))
+    assert not offenders, offenders[:5]
+
+    # and the step still runs
+    state, out = runner.train(state, batch)
+    assert np.isfinite(float(out["loss"]))
