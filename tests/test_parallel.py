@@ -40,25 +40,31 @@ def test_batch_local_ops_match_flat(batch_local):
                       0.0)
     w = jnp.asarray(rng.normal(size=(343, 3, 6)) * 0.1, jnp.float32)
 
-    assert layout.BATCH_LOCAL
-    got_y = ss.stem_conv_sparse_batch(coords, mask, feats, dims, w, 7)
-    got_d, got_o = ss.scatter_to_dense_batch(coords, mask, feats, dims)
+    from dpcr_agb_tpu.ops.voxel import build_grid, downsample
+    g1 = jax.vmap(lambda c, m: downsample(build_grid(c, m), None, 2,
+                                          40)[0])(coords, mask)
     h64 = jnp.where(mask[..., None],
                     jnp.asarray(rng.normal(size=(4, 40, 6)), jnp.float32), 0.0)
-    got_p, got_po = ss.scatter_max_pool_batch(coords, mask, h64, dims)
 
+    def run_all():
+        y = ss.stem_conv_sparse_batch(coords, mask, feats, dims, w, 7)
+        d, o = ss.scatter_to_dense_batch(coords, mask, feats, dims)
+        p, po = ss.scatter_max_pool_batch(coords, mask, h64, dims)
+        nbr = ss.pool_neighbor_map_batch(coords, mask, g1.coords, g1.mask,
+                                         dims)
+        mp = ss.max_pool_sparse(h64, nbr, g1.mask)
+        return y, d, o, p, po, nbr, mp
+
+    assert layout.BATCH_LOCAL
+    got = run_all()
     layout.BATCH_LOCAL = False
-    want_y = ss.stem_conv_sparse_batch(coords, mask, feats, dims, w, 7)
-    want_d, want_o = ss.scatter_to_dense_batch(coords, mask, feats, dims)
-    want_p, want_po = ss.scatter_max_pool_batch(coords, mask, h64, dims)
+    want = run_all()
     layout.BATCH_LOCAL = True
 
-    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
                                rtol=1e-6, atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
-    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(want_o))
-    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
-    np.testing.assert_array_equal(np.asarray(got_po), np.asarray(want_po))
+    for g_, w_ in zip(got[1:], want[1:]):
+        np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_))
 
 
 @pytest.mark.slow
