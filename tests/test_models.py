@@ -156,6 +156,7 @@ class TestMPointNet:
         out2 = net.apply(variables, b2, train=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
 
+    @pytest.mark.slow
     def test_overfits_tiny_problem(self, rng):
         import optax
         from dpcr_agb_tpu.models.base import compute_reg_loss as crl

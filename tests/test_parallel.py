@@ -28,6 +28,7 @@ def _sites(seed, dims, n_occ, cap):
     return jnp.asarray(out), jnp.asarray(np.arange(cap) < n_occ)
 
 
+@pytest.mark.slow
 def test_batch_local_ops_match_flat(batch_local):
     """Every dispatched op is EXACT under the vmapped per-sample layout."""
     from dpcr_agb_tpu.ops import sparse_stem as ss

@@ -35,7 +35,9 @@ class _DS:
     feature_dimension = 3
 
 
-@pytest.mark.parametrize("arch", ["pointnext_s", "pointnet"])
+@pytest.mark.parametrize(
+    "arch",
+    [pytest.param("pointnext_s", marks=pytest.mark.slow), "pointnet"])
 def test_forward_shapes(rng, arch):
     net = build_pointnext({"arch": arch, "radius": 0.1, "stride": 2,
                            "nsample": 8, "num_points": 0}, _DS())

@@ -180,6 +180,7 @@ def test_scatter_max_pool_matches_dense():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_scatter_max_pool_whole_model(monkeypatch):
     """SENet14 with DPCR_SPARSE_POOL=scattermax matches the dense-L0
     execution (shared params)."""

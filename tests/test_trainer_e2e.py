@@ -116,6 +116,7 @@ def test_kpconv_xy_cli_e2e(tmp_path):
     assert any(r["stage"] == "val" for r in recs)
 
 
+@pytest.mark.slow
 def test_training_determinism(tmp_path):
     """Same seed => bit-identical metrics across two full train runs
     (explicit PRNG-key plumbing; SURVEY.md §5.2 asks for this guarantee —

@@ -159,7 +159,9 @@ class TestSparseResNet:
                      is_double=jnp.zeros(bs, bool),
                      coords=jnp.asarray(coords))
 
-    @pytest.mark.parametrize("arch", ["SENet14", "ResNet50_"])
+    @pytest.mark.parametrize(
+        "arch",
+        ["SENet14", pytest.param("ResNet50_", marks=pytest.mark.slow)])
     def test_forward_and_padding_invariance(self, rng, arch):
         import dataclasses
         from dpcr_agb_tpu.models.minkowski import build_resnet
