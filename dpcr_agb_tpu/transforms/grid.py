@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .core import Sample, Transform, num_points, register, shuffle_sample
+from .core import (Sample, Transform, num_points, register, shuffle_sample,
+                   unique_int_rows)
 
 _INTEGER_LABEL_KEYS = ["y", "y_cls", "instance_labels"]
 
@@ -63,8 +64,7 @@ class GridSampling3D(Transform):
         if self.mode == "last":
             sample = shuffle_sample(rng, sample)
         coords = np.round(sample["pos"] / self.size)
-        uniq, inverse = np.unique(coords, axis=0, return_inverse=True)
-        inverse = inverse.ravel()
+        uniq, inverse = unique_int_rows(coords)
         n_clusters = len(uniq)
         # last occurrence per cluster (matches PyG consecutive_cluster scatter)
         last_indices = np.zeros(n_clusters, dtype=np.int64)

@@ -170,6 +170,31 @@ def test_stat_z_outlier(rng):
     assert out["pos"].shape[0] == 1000
 
 
+def test_unique_int_rows_matches_np_unique(rng):
+    from dpcr_agb_tpu.transforms.core import unique_int_rows
+    for rows in (
+            np.round(rng.normal(0, 40, (5000, 3))),            # negatives
+            rng.integers(-3, 3, (2000, 3)).astype(np.float32),  # heavy dups
+            np.zeros((7, 3)),                                   # all one voxel
+            np.round(rng.normal(0, 2, (1, 3))),                 # single row
+            rng.integers(0, 2**22, (500, 3)).astype(np.int64),  # overflow path
+    ):
+        uniq, inv = unique_int_rows(rows)
+        want_uniq, want_inv = np.unique(rows, axis=0, return_inverse=True)
+        # same unique set (row order may differ: numeric vs byte lexicographic)
+        np.testing.assert_array_equal(
+            np.sort(uniq.astype(np.int64), axis=0),
+            np.sort(want_uniq.astype(np.int64), axis=0))
+        # inverse reconstructs every original row exactly
+        np.testing.assert_array_equal(uniq[inv], rows)
+        assert inv.ndim == 1 and len(inv) == len(rows)
+        # same clustering as numpy's inverse (identical partition)
+        want_inv = want_inv.ravel()
+        remap = {}
+        for a, b in zip(inv.tolist(), want_inv.tolist()):
+            assert remap.setdefault(a, b) == b
+
+
 def test_grid_sampling_last_mode(rng):
     s = make_sample(rng, n=4000, with_x=True)
     out = T.GridSampling3D(size=1.0, quantize_coords=True, mode="last")(rng, s)
