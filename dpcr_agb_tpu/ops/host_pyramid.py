@@ -373,7 +373,13 @@ def make_kpconv_post_collate(plan_fn, cache_bytes: Optional[int] = None):
                 arrs = [np.pad(a, ((0, 0), (0, kr - a.shape[1])),
                                constant_values=e)
                         if a.shape[1] < kr else a for a in arrs]
-            aux[k] = np.stack(arrs)
+            # preallocate + row assign: ~3x faster than np.stack for these
+            # MB-sized int32 lists (stack funnels through a slower path; the
+            # batched pyramid copy was the #1 post-collate cost at bs16)
+            out = np.empty((len(arrs),) + arrs[0].shape, arrs[0].dtype)
+            for i, a in enumerate(arrs):
+                out[i] = a
+            aux[k] = out
         return dataclasses.replace(batch, aux=aux)
 
     return post_collate
