@@ -18,24 +18,46 @@ log = logging.getLogger(__name__)
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
-_LIB_PATH = os.path.join(_SRC_DIR, "libpointops.so")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
-    src = os.path.join(_SRC_DIR, "pointops.cpp")
+def _ensure_lib(src_name: str, committed_name: str) -> Optional[str]:
+    """Path to an up-to-date .so for native/<src_name>.
+
+    Builds to a source-hash-keyed filename (libX-<hash>.so, gitignored) so a
+    source edit can never be shadowed by the stale committed binary, and so
+    each machine gets its own -march=native build (the committed .so is the
+    portable no-compiler fallback). Atomic rename keeps concurrent loader
+    workers from racing on a half-written file."""
+    src = os.path.join(_SRC_DIR, src_name)
+    committed = os.path.join(_SRC_DIR, committed_name)
     if not os.path.exists(src):
-        return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-             "-o", _LIB_PATH, src],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except (OSError, subprocess.SubprocessError) as e:
-        log.info(f"native pointops build skipped: {e}")
-        return False
+        return committed if os.path.exists(committed) else None
+    import hashlib
+    with open(src, "rb") as f:
+        tag = hashlib.blake2b(f.read(), digest_size=6).hexdigest()
+    built = os.path.join(
+        _SRC_DIR, f"{committed_name.rsplit('.so', 1)[0]}-{tag}.so")
+    if os.path.exists(built):
+        return built
+    err: object = None
+    for flags in (["-O3", "-march=native"], ["-O3"]):
+        tmp = f"{built}.tmp{os.getpid()}"
+        try:
+            subprocess.run(
+                ["g++", *flags, "-fPIC", "-shared", "-std=c++17",
+                 "-o", tmp, src],
+                check=True, capture_output=True, timeout=180)
+            os.replace(tmp, built)
+            return built
+        except (OSError, subprocess.SubprocessError) as e:
+            err = e
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    log.info(f"native build of {src_name} failed ({err}); "
+             "using committed binary")
+    return committed if os.path.exists(committed) else None
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -43,10 +65,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    path = _ensure_lib("pointops.cpp", "libpointops.so")
+    if path is None:
         return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError as e:
         log.info(f"native pointops unavailable: {e}")
         return None
@@ -213,7 +236,6 @@ def downsample_coords(coords: np.ndarray, mask: np.ndarray, stride: int,
 
 # --- LASzip mini codec (native/laszip.cpp) ----------------------------------
 
-_LAZ_LIB_PATH = os.path.join(_SRC_DIR, "liblaszip_mini.so")
 _laz_lib: Optional[ctypes.CDLL] = None
 _laz_tried = False
 
@@ -223,18 +245,12 @@ def get_laz_lib() -> Optional[ctypes.CDLL]:
     if _laz_lib is not None or _laz_tried:
         return _laz_lib
     _laz_tried = True
-    src = os.path.join(_SRC_DIR, "laszip.cpp")
-    if not os.path.exists(_LAZ_LIB_PATH):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-                 "-o", _LAZ_LIB_PATH, src],
-                check=True, capture_output=True, timeout=120)
-        except (OSError, subprocess.SubprocessError) as e:
-            log.info(f"native laszip build skipped: {e}")
-            return None
+    path = _ensure_lib("laszip.cpp", "liblaszip_mini.so")
+    if path is None:
+        log.info("native laszip build skipped (no source or compiler)")
+        return None
     try:
-        lib = ctypes.CDLL(_LAZ_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError as e:
         log.info(f"native laszip unavailable: {e}")
         return None
