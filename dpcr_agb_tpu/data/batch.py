@@ -81,12 +81,15 @@ class CollateSpec:
 
 
 def collate(samples: List[dict], spec: CollateSpec,
-            pad_to_batch: Optional[int] = None) -> Batch:
+            pad_to_batch: Optional[int] = None,
+            n_valid: Optional[int] = None) -> Batch:
     """Pad a list of transform-layer sample dicts into one fixed-shape Batch.
     pad_to_batch > len(samples) repeats the first sample into padding rows
     marked valid=False with all-False y_reg_mask (ragged final eval batches
-    keep the jitted step's static shape)."""
-    n_real = len(samples)
+    keep the jitted step's static shape). n_valid=0 with one template sample
+    builds an all-padding batch (a multi-host process whose slice of the
+    ragged final batch is empty must still execute the collective step)."""
+    n_real = len(samples) if n_valid is None else n_valid
     if pad_to_batch is not None and pad_to_batch > n_real:
         samples = list(samples) + [samples[0]] * (pad_to_batch - n_real)
     bs = len(samples)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterator, List, Optional
+from typing import Callable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -27,7 +27,8 @@ class Loader:
                  double_batch: bool = False, drop_last: bool = True,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
                  post_collate: Optional[Callable] = None,
-                 pre_batch_collate: Optional[Callable] = None):
+                 pre_batch_collate: Optional[Callable] = None,
+                 shard: Optional[Tuple[int, int]] = None):
         self.dataset = dataset
         self.transform = transform
         self.batch_size = batch_size
@@ -40,6 +41,21 @@ class Loader:
         self.prefetch = prefetch
         self.post_collate = post_collate
         self.pre_batch_collate = pre_batch_collate
+        # multi-host data parallelism: shard=(process_index, process_count).
+        # batch_size stays GLOBAL; every process derives the SAME epoch index
+        # stream (identical seed), then builds only its contiguous
+        # batch_size/process_count slice of each batch. Per-sample transform
+        # RNG is keyed by GLOBAL position, so the global batch content is
+        # bit-identical to a single-process run (test-asserted).
+        self.shard = shard or (0, 1)
+        pi, pc = self.shard
+        if batch_size % pc:
+            raise ValueError(f"batch_size {batch_size} must divide by "
+                             f"process_count {pc}")
+        if double_batch and (batch_size // pc) % 2:
+            raise ValueError("double_batch pairs are adjacent; the local "
+                             "per-process batch must be even")
+        self.local_batch_size = batch_size // pc
         self.sampler = RandomSampler(len(dataset), batch_size, double_batch) \
             if shuffle else None
 
@@ -80,19 +96,35 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        pi, pc = self.shard
+        local = self.local_batch_size
+
         def build(bi, batch_idx):
             """One whole batch: transforms + collate + post_collate. Batches
             build CONCURRENTLY across workers (the heavy host work — e.g.
             the KPConv C++ pyramid at ~2.5 s/batch — must not serialize on
             one producer thread); results are forwarded in order."""
+            # double-batch pairing looks at the GLOBAL index stream, then the
+            # process keeps its own contiguous slice
             doubles = np.zeros(len(batch_idx), dtype=bool)
             doubles[1:] = batch_idx[1:] == batch_idx[:-1]
+            lo = min(pi * local, len(batch_idx))
+            hi = min(lo + local, len(batch_idx))
             samples = [self._make_sample(epoch, bi * self.batch_size + j,
                                          batch_idx[j], doubles[j])
-                       for j in range(len(batch_idx))]
+                       for j in range(lo, hi)]
+            empty = not samples
+            if empty:
+                # ragged final batch left this process empty: an all-padding
+                # batch (valid=False everywhere) keeps it in the collective
+                samples = [self._make_sample(epoch, bi * self.batch_size,
+                                             batch_idx[0], False)]
             if self.pre_batch_collate is not None:
+                # may DROP samples (ClampBatchSize point budget); the dropped
+                # tail becomes ordinary batch padding via pad_to_batch
                 samples = self.pre_batch_collate(samples)
-            b = collate(samples, self.spec, pad_to_batch=self.batch_size)
+            b = collate(samples, self.spec, pad_to_batch=local,
+                        n_valid=0 if empty else None)
             if self.post_collate is not None:
                 b = self.post_collate(b)
             return b

@@ -23,9 +23,12 @@ except ImportError:
 
 class BaseTracker:
     def __init__(self, stage: str, wandb_log: bool = False,
-                 use_tensorboard: bool = False, log_dir: str = "."):
+                 use_tensorboard: bool = False, log_dir: Optional[str] = "."):
+        # log_dir=None: metrics are computed but never written to disk —
+        # non-zero ranks of a multi-host run (every rank sees the same
+        # replicated metrics; only process 0 owns the files)
         self._wandb = wandb_log and _WANDB_AVAILABLE
-        self._use_tensorboard = use_tensorboard
+        self._use_tensorboard = use_tensorboard and log_dir is not None
         self._log_dir = log_dir
         self._tb_writer = None
         if self._use_tensorboard:
@@ -35,7 +38,8 @@ class BaseTracker:
                 self._tb_writer = SummaryWriter(os.path.join(log_dir, "tensorboard"))
             except ImportError:
                 self._use_tensorboard = False
-        self._jsonl_path = os.path.join(log_dir, "metrics.jsonl")
+        self._jsonl_path = (os.path.join(log_dir, "metrics.jsonl")
+                            if log_dir is not None else None)
         self._stage = stage
         self._finalised = False
         self._loss_meters: Dict[str, AverageValueMeter] = {}
@@ -75,8 +79,9 @@ class BaseTracker:
 
     def publish_metrics(self, metrics: Dict[str, Any], epoch: int, step: Optional[int] = None):
         record = {"epoch": epoch, "stage": self._stage, **metrics}
-        with open(self._jsonl_path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        if self._jsonl_path is not None:
+            with open(self._jsonl_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
         if self._tb_writer is not None:
             for key, value in metrics.items():
                 name = key.replace(f"{self._stage}_", "", 1)

@@ -55,3 +55,41 @@ def batch_sharding(mesh: Mesh, batch):
 def shard_batch(mesh: Mesh, batch):
     """Device_put a host batch onto the mesh with batch-axis sharding."""
     return jax.device_put(batch, batch_sharding(mesh, batch))
+
+
+_dist_initialized = False
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host (DCN) bring-up: `jax.distributed.initialize()` when a
+    launcher configured it (DPCR_MULTIHOST=1; coordinator/num_processes/
+    process_id come from the standard JAX env vars or cloud autodetection).
+    Must run before the first backend query. The reference has no multi-node
+    story at all (SURVEY.md §5.8 — single-process nn.DataParallel); on TPU
+    the same pjit program then spans pods, gradients psum over ICI within a
+    slice and DCN across slices."""
+    global _dist_initialized
+    import os
+    if _dist_initialized or os.environ.get("DPCR_MULTIHOST", "0") != "1":
+        return
+    jax.distributed.initialize()
+    _dist_initialized = True
+
+
+def put_global_batch(mesh: Mesh, batch):
+    """Assemble the jit input batch from THIS process's local shard.
+
+    Single-process: plain sharded device_put. Multi-process: every process
+    holds batch_size/process_count samples (Loader shard=...); the global
+    jax.Array spanning all hosts' devices is stitched with
+    make_array_from_process_local_data — no cross-host data movement, each
+    host feeds only its own devices."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+
+    def leaf_to_global(leaf):
+        leaf = np.asarray(leaf)
+        sh = NamedSharding(mesh, _leaf_spec(leaf))
+        return jax.make_array_from_process_local_data(sh, leaf)
+
+    return jax.tree_util.tree_map(leaf_to_global, batch)

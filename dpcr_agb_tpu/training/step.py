@@ -21,7 +21,7 @@ import numpy as np
 import optax
 
 from ..models.base import InstanceSpec, compute_reg_loss, convert_outputs, reg_output
-from ..parallel.mesh import replicate_sharding, shard_batch
+from ..parallel.mesh import put_global_batch, replicate_sharding
 from .state import TrainState
 
 
@@ -141,17 +141,36 @@ class StepRunner:
     def init_state(self, example_batch) -> TrainState:
         # jit the init: eager flax init would dispatch thousands of single
         # ops (prohibitive over a remote-TPU transport)
-        variables = jax.jit(partial(self.net.init, train=False))(
-            {"params": jax.random.fold_in(self._root_rng, 0),
-             "dropout": jax.random.fold_in(self._root_rng, 1)},
-            example_batch)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
+        rngs = {"params": jax.random.fold_in(self._root_rng, 0),
+                "dropout": jax.random.fold_in(self._root_rng, 1)}
+        if self.mesh is None:
+            variables = jax.jit(partial(self.net.init, train=False))(
+                rngs, example_batch)
+            params = variables["params"]
+            return TrainState(params=params,
+                              batch_stats=variables.get("batch_stats", {}),
+                              opt_state=self.tx.init(params))
+        # under a mesh, init as one SPMD program with replicated outputs:
+        # on multi-host runs every jit input/output must be a global array
+        # (the per-process local init would produce host-local params that
+        # the train step cannot consume), and on single host this is
+        # equivalent to the plain jit + eager tx.init above
+
+        def initf(batch):
+            variables = self.net.init(rngs, batch, train=False)
+            params = variables["params"]
+            return (params, variables.get("batch_stats", {}),
+                    self.tx.init(params))
+
+        repl = replicate_sharding(self.mesh)
+        params, batch_stats, opt_state = jax.jit(
+            initf, out_shardings=repl)(self._put(example_batch))
         return TrainState(params=params, batch_stats=batch_stats,
-                          opt_state=self.tx.init(params))
+                          opt_state=opt_state)
 
     def _put(self, batch):
-        return shard_batch(self.mesh, batch) if self.mesh is not None else batch
+        return (put_global_batch(self.mesh, batch)
+                if self.mesh is not None else batch)
 
     def train(self, state: TrainState, batch) -> tuple:
         params, stats, opt_state, out = self._train_step(
@@ -160,7 +179,10 @@ class StepRunner:
         new_state = dataclasses.replace(
             state, params=params, batch_stats=stats, opt_state=opt_state,
             step=state.step + 1,
-            num_samples=state.num_samples + batch.pos.shape[0])
+            # num_samples drives on_num_sample schedules and is GLOBAL:
+            # under multi-host each process sees 1/process_count of the batch
+            num_samples=state.num_samples
+            + batch.pos.shape[0] * jax.process_count())
         return new_state, out
 
     def evaluate(self, state: TrainState, batch, enable_dropout: bool = False,

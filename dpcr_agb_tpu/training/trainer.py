@@ -29,7 +29,7 @@ from ..data.batch import CollateSpec
 from ..data.dataset import instantiate_dataset
 from ..data.loader import Loader
 from ..models.factory import ModelBundle, instantiate_model
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import make_mesh, maybe_init_distributed
 from ..visualization.visualizer import Visualizer
 from .optim import adabelief, make_lr_fn
 from .state import ModelCheckpoint, TrainState, restore_opt_state
@@ -51,6 +51,8 @@ class Trainer:
     # ------------------------------------------------------------------ init
     def _initialize_trainer(self) -> None:
         cfg = self._cfg
+        # multi-host bring-up must precede the first device query
+        maybe_init_distributed()
         # persistent compilation cache: TPU compiles through the axon tunnel
         # cost minutes; reruns of the same shapes (trials, eval, resume) hit
         # the disk cache instead (same setup as bench.py)
@@ -136,9 +138,19 @@ class Trainer:
                                                   dtype=jnp.bfloat16)
 
         # mesh: data-parallel over all visible devices that divide batch_size
-        n_dev = len(jax.devices())
-        while n_dev > 1 and self.batch_size % n_dev:
-            n_dev -= 1
+        self._n_proc = jax.process_count()
+        self._is_main = jax.process_index() == 0
+        n_dev = len(jax.devices())  # GLOBAL device count under multi-host
+        if self._n_proc > 1:
+            if self.batch_size % n_dev:
+                # can't silently shrink the mesh: every process's devices
+                # must participate or the collectives deadlock
+                raise ValueError(
+                    f"multi-host run: batch_size {self.batch_size} must "
+                    f"divide by the global device count {n_dev}")
+        else:
+            while n_dev > 1 and self.batch_size % n_dev:
+                n_dev -= 1
         self.mesh = make_mesh(n_dev) if n_dev > 1 else None
 
         self._create_loaders()
@@ -184,6 +196,7 @@ class Trainer:
 
         wandb_log = bool(self.training_cfg.get("wandb", {}).get("log", False)) \
             if self.training_cfg.get("wandb") else False
+        wandb_log = wandb_log and self._is_main
         if wandb_log:
             from ..utils.wandb_utils import wandb_init
             self._wandb_run = wandb_init(self.training_cfg.get("wandb"),
@@ -191,11 +204,15 @@ class Trainer:
             wandb_log = self._wandb_run is not None
         tb_log = bool(self.training_cfg.get("tensorboard", {}).get("log", False)) \
             if self.training_cfg.get("tensorboard") else False
-        self.tracker = self.dataset.get_tracker(wandb_log, tb_log,
-                                                log_dir=self.run_dir)
+        # non-zero ranks compute the same replicated metrics/predictions;
+        # only process 0 owns files, wandb, tensorboard, and export
+        self.tracker = self.dataset.get_tracker(
+            wandb_log, tb_log and self._is_main,
+            log_dir=self.run_dir if self._is_main else None)
         num_batches = {s: (len(l) if l else 0) for s, l in self.loaders.items()}
-        self.visualizer = Visualizer(cfg.get("visualization", {}) or {},
-                                     num_batches, self.batch_size, self.run_dir)
+        self.visualizer = Visualizer(
+            (cfg.get("visualization", {}) or {}) if self._is_main else {},
+            num_batches, self.batch_size, self.run_dir)
 
     def _make_tx(self, name: str, params: dict, grad_clip, lr_fn
                  ) -> optax.GradientTransformation:
@@ -270,6 +287,15 @@ class Trainer:
 
     def _create_loaders(self) -> None:
         spec: CollateSpec = self.bundle.collate
+        shard = None
+        if self._n_proc > 1:
+            # every process must compile/execute the SAME program per step:
+            # a data-dependent bucket choice could diverge across hosts and
+            # deadlock the collectives, so pin to the top bucket
+            if spec.buckets:
+                spec = dataclasses.replace(spec,
+                                           buckets=(max(spec.buckets),))
+            shard = (jax.process_index(), self._n_proc)
         self.loaders: Dict[str, Optional[Loader]] = {}
         for split in ("train", "val", "test"):
             ds = self.dataset.datasets.get(split)
@@ -286,7 +312,8 @@ class Trainer:
                 num_workers=self.num_workers,
                 post_collate=self.bundle.post_collate,
                 pre_batch_collate=getattr(
-                    self.dataset, "pre_batch_collate_transform", None))
+                    self.dataset, "pre_batch_collate_transform", None),
+                shard=shard)
 
     def _example_batch(self):
         for split in ("train", "val", "test"):
@@ -464,7 +491,8 @@ class Trainer:
             metrics = self.tracker.get_metrics()
             self.checkpoint.save_best_models_under_current_metrics(
                 self.state, "train", self.start_epoch - 1, metrics,
-                self.tracker.metric_func, self.optimizer_name)
+                self.tracker.metric_func, self.optimizer_name,
+                persist=self._is_main)
 
     def _apply_bn_schedule(self, epoch: int) -> None:
         """BNMomentumScheduler parity (bn_schedulers.py:6-112): flax module
@@ -574,7 +602,8 @@ class Trainer:
         metrics = self.tracker.get_metrics()
         improved = self.checkpoint.save_best_models_under_current_metrics(
             self.state, stage, epoch, metrics, self.tracker.metric_func,
-            self.optimizer_name, persist=getattr(self, "_persist_next", True))
+            self.optimizer_name,
+            persist=getattr(self, "_persist_next", True) and self._is_main)
         if improved:
             log.info(f"improved: {', '.join(improved)}")
             self.tracker.publish_best_tables(improved, metrics, epoch)

@@ -1,0 +1,195 @@
+"""Multi-host (DCN) data parallelism.
+
+The reference has no multi-node story (SURVEY.md §5.8 — single-process
+nn.DataParallel only). Here the same pjit program spans hosts: each process
+loads batch_size/process_count samples, put_global_batch stitches the global
+jax.Array with make_array_from_process_local_data, and gradients psum across
+all devices. Tested for real: two OS processes, each with 2 virtual CPU
+devices, must reproduce the single-process 4-device loss bit-for-bit.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _mk_loader(tmp_path, shard, bs=8):
+    from dpcr_agb_tpu.config import load_config
+    from dpcr_agb_tpu.data.dataset import instantiate_dataset
+    from dpcr_agb_tpu.data.loader import Loader
+    from dpcr_agb_tpu.models.factory import instantiate_model
+
+    cfg = load_config(os.path.join(REPO, "conf"), "config", [
+        "task=instance", "models=instance/minkowski_baseline",
+        "model_name=MPointNet", "data=instance/synthetic/reg",
+        "data.transform_type=sparse_xy", "data.synthetic_plots=24",
+        f"data.dataroot={tmp_path}/data", "training=nfi/minkowski",
+        f"run_dir={tmp_path}/run"])
+    ds = instantiate_dataset(cfg["data"])
+    bundle = instantiate_model(cfg["models"], "MPointNet", ds,
+                               bn_axis_name=None)
+    import dataclasses
+    spec = bundle.collate
+    if spec.buckets:  # the trainer pins buckets under multi-host
+        spec = dataclasses.replace(spec, buckets=(max(spec.buckets),))
+    return ds, Loader(ds.datasets["train"], ds.transform_for("train"),
+                      batch_size=bs, spec=spec, shuffle=True,
+                      drop_last=True, seed=7, num_workers=0, shard=shard)
+
+
+def test_loader_shards_reassemble_to_global_batch(tmp_path):
+    """shard=(p,2) loaders jointly produce EXACTLY the unsharded batches:
+    same samples, same per-sample augmentation RNG (keyed on global
+    position), in the same order."""
+    _, full = _mk_loader(tmp_path, shard=None)
+    _, l0 = _mk_loader(tmp_path, shard=(0, 2))
+    _, l1 = _mk_loader(tmp_path, shard=(1, 2))
+    for epoch in (0, 1):
+        for bf, b0, b1 in zip(full.epoch(epoch), l0.epoch(epoch),
+                              l1.epoch(epoch)):
+            for field in ("pos", "x", "mask", "y_reg", "y_reg_mask",
+                          "label_idx", "is_double", "coords", "valid"):
+                want = np.asarray(getattr(bf, field))
+                got = np.concatenate([np.asarray(getattr(b0, field)),
+                                      np.asarray(getattr(b1, field))])
+                np.testing.assert_array_equal(got, want, err_msg=field)
+
+
+def test_loader_shard_validation():
+    from dpcr_agb_tpu.data.loader import Loader
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+    from dpcr_agb_tpu.data.batch import CollateSpec
+    with pytest.raises(ValueError, match="divide"):
+        Loader(_DS(), lambda r, s: s, batch_size=6, spec=CollateSpec(),
+               shard=(0, 4))
+    with pytest.raises(ValueError, match="double_batch"):
+        Loader(_DS(), lambda r, s: s, batch_size=2, spec=CollateSpec(),
+               double_batch=True, shard=(0, 2))
+
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+coordinator, pid, repo = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, repo)
+import numpy as np, optax, dataclasses
+from __graft_entry__ import _example_batch, _flagship
+from dpcr_agb_tpu.models.base import InstanceSpec
+from dpcr_agb_tpu.parallel.mesh import make_mesh
+from dpcr_agb_tpu.training.optim import adabelief, cosine_annealing_warm_restarts
+from dpcr_agb_tpu.training.step import StepRunner
+
+assert len(jax.devices()) == 4, jax.devices()
+mesh = make_mesh(4)
+net = _flagship(dense_dims=(16, 16, 16))
+spec = InstanceSpec(num_reg_targets=2,
+                    scale=np.array([50.0, 80.0], np.float32),
+                    center=np.array([100.0, 150.0], np.float32),
+                    weights=np.array([0.5, 0.5], np.float32))
+tx = optax.chain(optax.clip(100.0),
+                 adabelief(cosine_annealing_warm_restarts(5e-3, 10, 2),
+                           weight_decay=1e-2))
+runner = StepRunner(net=net, spec=spec, tx=tx, mesh=mesh, seed=0)
+gbatch = _example_batch(bs=8, n_voxels=256, grid=16)  # same on both ranks
+
+def local(leaf):
+    a = np.asarray(leaf)
+    return a[pid * 4:(pid + 1) * 4]
+
+lbatch = jax.tree_util.tree_map(local, gbatch)
+state = runner.init_state(lbatch)
+losses = []
+for _ in range(2):
+    state, out = runner.train(state, lbatch)
+    losses.append(float(out["loss"]))
+print("LOSSES", " ".join(f"{l:.10f}" for l in losses), flush=True)
+"""
+
+_SINGLE = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+repo = sys.argv[1]
+sys.path.insert(0, repo)
+import numpy as np, optax
+from __graft_entry__ import _example_batch, _flagship
+from dpcr_agb_tpu.models.base import InstanceSpec
+from dpcr_agb_tpu.parallel.mesh import make_mesh
+from dpcr_agb_tpu.training.optim import adabelief, cosine_annealing_warm_restarts
+from dpcr_agb_tpu.training.step import StepRunner
+
+mesh = make_mesh(4)
+net = _flagship(dense_dims=(16, 16, 16))
+spec = InstanceSpec(num_reg_targets=2,
+                    scale=np.array([50.0, 80.0], np.float32),
+                    center=np.array([100.0, 150.0], np.float32),
+                    weights=np.array([0.5, 0.5], np.float32))
+tx = optax.chain(optax.clip(100.0),
+                 adabelief(cosine_annealing_warm_restarts(5e-3, 10, 2),
+                           weight_decay=1e-2))
+runner = StepRunner(net=net, spec=spec, tx=tx, mesh=mesh, seed=0)
+batch = _example_batch(bs=8, n_voxels=256, grid=16)
+state = runner.init_state(batch)
+losses = []
+for _ in range(2):
+    state, out = runner.train(state, batch)
+    losses.append(float(out["loss"]))
+print("LOSSES", " ".join(f"{l:.10f}" for l in losses), flush=True)
+"""
+
+
+def _parse_losses(stdout: str):
+    for line in stdout.splitlines():
+        if line.startswith("LOSSES"):
+            return [float(t) for t in line.split()[1:]]
+    raise AssertionError(f"no LOSSES line in output:\n{stdout}")
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    """REAL multi-process run: 2 OS processes x 2 CPU devices each over
+    jax.distributed, vs one process with 4 devices — identical global batch,
+    identical losses."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER, coord, str(p), REPO],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for p in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    single = subprocess.run(
+        [sys.executable, "-c", _SINGLE, REPO], stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, env=env, timeout=600)
+    assert single.returncode == 0, f"single failed:\n{single.stdout}"
+    want = _parse_losses(single.stdout)
+    for out in outs:
+        got = _parse_losses(out)
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg="multi-host loss diverged from "
+                                           "single-process")
