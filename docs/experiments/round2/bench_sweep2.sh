@@ -31,3 +31,19 @@ run DPCR_BENCH_BS=32 DPCR_FOLD_CHUNKS=2
 # P6: non-divisor group sizes now correct (g=6/5)
 run DPCR_BENCH_BS=20
 run DPCR_BENCH_BS=24
+# P7: END-TO-END trainer throughput (loader + device overlapped) at the bench
+# shape — evidences the round-2 host-pipeline work (212 plots/s host ceiling)
+# against the device rate; reuses the bench compile (same shapes). 3 epochs,
+# read the "plots/s" lines of epochs 2-3 (epoch 1 pays compile).
+echo "=== e2e trainer senet14 sparse_xy bs16 ===" | tee -a "$LOG"
+timeout 5400 python -u -c "
+import sys; sys.path.insert(0,'.')
+import train, tempfile
+tmp = tempfile.mkdtemp(prefix='e2e_')
+train.main(['task=instance','models=instance/minkowski_baseline',
+ 'model_name=SENet14','data=instance/synthetic/reg',
+ 'data.transform_type=sparse_xy','data.synthetic_plots=256',
+ f'data.dataroot={tmp}/data','training=nfi/minkowski','training.epochs=3',
+ 'training.batch_size=16','training.num_workers=4','eval_frequency=10',
+ f'run_dir={tmp}/run'])
+" 2>&1 | grep -E "plots/s|EPOCH" | tee -a "$LOG"
