@@ -90,8 +90,8 @@ def collate(samples: List[dict], spec: CollateSpec,
     builds an all-padding batch (a multi-host process whose slice of the
     ragged final batch is empty must still execute the collective step)."""
     n_real = len(samples) if n_valid is None else n_valid
-    if pad_to_batch is not None and pad_to_batch > n_real:
-        samples = list(samples) + [samples[0]] * (pad_to_batch - n_real)
+    if pad_to_batch is not None and pad_to_batch > len(samples):
+        samples = list(samples) + [samples[0]] * (pad_to_batch - len(samples))
     bs = len(samples)
     counts = [s["pos"].shape[0] for s in samples]
     if spec.num_points is not None:

@@ -25,6 +25,17 @@ from ..parallel.mesh import put_global_batch, replicate_sharding
 from .state import TrainState
 
 
+def _sample_meta(batch) -> Dict[str, Any]:
+    """Per-sample metadata echoed through the jitted step. Trackers and the
+    visualizer consume these alongside reg_out; because step outputs are
+    REPLICATED over the mesh, every process sees the GLOBAL rows under
+    multi-host data parallelism, where the host-side batch holds only the
+    local shard (tiny [B]/[B,T] arrays — negligible traffic)."""
+    return {"y_reg": batch.y_reg, "area_idx": batch.area_idx,
+            "label_idx": batch.label_idx, "is_double": batch.is_double,
+            "valid": batch.valid}
+
+
 def _forward(net, spec: InstanceSpec, params, batch_stats, batch, train: bool,
              dropout_rng=None, enable_dropout: bool = False):
     variables = {"params": params, "batch_stats": batch_stats}
@@ -71,7 +82,8 @@ def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         out = {"loss": loss, "loss_reg": loss,
-               "reg_out": reg_output(spec, reg_out)}
+               "reg_out": reg_output(spec, reg_out),
+               "sample_meta": _sample_meta(batch)}
         return new_params, new_stats, new_opt_state, out
 
     if mesh is None:
@@ -101,7 +113,8 @@ def make_eval_step(net, spec: InstanceSpec, mesh=None,
         loss = compute_reg_loss(spec, reg_out, batch.y_reg, batch.y_reg_mask,
                                 training=False)
         out = {"loss": loss, "loss_reg": loss,
-               "reg_out": reg_output(spec, reg_out)}
+               "reg_out": reg_output(spec, reg_out),
+               "sample_meta": _sample_meta(batch)}
         return new_stats, out
 
     if mesh is None:

@@ -211,7 +211,8 @@ class Trainer:
             log_dir=self.run_dir if self._is_main else None)
         num_batches = {s: (len(l) if l else 0) for s, l in self.loaders.items()}
         self.visualizer = Visualizer(
-            (cfg.get("visualization", {}) or {}) if self._is_main else {},
+            (cfg.get("visualization", {}) or {}) if self._is_main
+            else {"format": []},  # {} would fall back to the csv default
             num_batches, self.batch_size, self.run_dir)
 
     def _make_tx(self, name: str, params: dict, grad_clip, lr_fn
@@ -567,34 +568,47 @@ class Trainer:
     def _track(self, batch, out, every: int = 1, batch_i: int = 0) -> None:
         if every > 1 and batch_i % every:
             return
-        sample_mask = ~np.asarray(batch.is_double)
-        if batch.valid is not None:
-            sample_mask &= np.asarray(batch.valid)
+        # per-sample metadata comes from the step OUTPUT, not the host batch:
+        # step outputs are replicated over the mesh, so under multi-host the
+        # tracker sees the GLOBAL rows while the host batch is local-only
+        meta = out["sample_meta"]
+        sample_mask = ~np.asarray(meta["is_double"])
+        if meta["valid"] is not None:
+            sample_mask &= np.asarray(meta["valid"])
         self.tracker.track({
             "losses": {"loss": float(out["loss"]),
                        "loss_reg": float(out["loss_reg"])},
             "reg_out": np.asarray(out["reg_out"]),
-            "reg_y": np.asarray(batch.y_reg),
-            "area_idx": np.asarray(batch.area_idx),
+            "reg_y": np.asarray(meta["y_reg"]),
+            "area_idx": np.asarray(meta["area_idx"]),
             "sample_mask": sample_mask,
         })
 
     def _visualize(self, batch, out) -> None:
         if not self.visualizer.is_active:
             return
-        sample_mask = ~np.asarray(batch.is_double)
-        if batch.valid is not None:
-            sample_mask &= np.asarray(batch.valid)
+        meta = out["sample_meta"]
+        sample_mask = ~np.asarray(meta["is_double"])
+        if meta["valid"] is not None:
+            sample_mask &= np.asarray(meta["valid"])
+        wants_pos = self.visualizer.wants_pos
+        if self._n_proc > 1 and wants_pos:
+            # the point cloud lives only in the local shard, but reg_out/meta
+            # are global — skip ply/3D panels rather than mix row spaces;
+            # csv/gpkg exports stay global
+            log.warning("multi-host: ply/3D point-cloud panels are disabled "
+                        "(positions are host-local); csv/gpkg stay global")
+            wants_pos = False
         self.visualizer.save_visuals(
-            np.asarray(out["reg_out"]), np.asarray(batch.y_reg),
-            np.asarray(batch.area_idx), np.asarray(batch.label_idx),
+            np.asarray(out["reg_out"]), np.asarray(meta["y_reg"]),
+            np.asarray(meta["area_idx"]), np.asarray(meta["label_idx"]),
             self.dataset.area_names, self.dataset.reg_targets,
             sample_mask=sample_mask,
             # device->host transfer of the full point cloud only when the
             # ply exporter will actually use it
-            pos=(np.asarray(batch.pos) if self.visualizer.wants_pos
+            pos=(np.asarray(batch.pos) if wants_pos
                  and batch.pos is not None else None),
-            pos_mask=(np.asarray(batch.mask) if self.visualizer.wants_pos
+            pos_mask=(np.asarray(batch.mask) if wants_pos
                       and batch.mask is not None else None))
 
     def _finalize_epoch(self, epoch: int, stage: str) -> Dict[str, float]:

@@ -162,6 +162,80 @@ def _parse_losses(stdout: str):
     raise AssertionError(f"no LOSSES line in output:\n{stdout}")
 
 
+_TRAINER_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%(devs)s"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+repo, workdir = sys.argv[1], sys.argv[2]
+if len(sys.argv) > 3:  # multi-host rank
+    coordinator, pid = sys.argv[3], int(sys.argv[4])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=2, process_id=pid)
+sys.path.insert(0, repo)
+import train
+train.main(['task=instance', 'models=instance/minkowski_baseline',
+            'model_name=MPointNet', 'data=instance/synthetic/reg',
+            'data.transform_type=sparse_xy', 'data.synthetic_plots=24',
+            f'data.dataroot={workdir}/data', 'training=nfi/minkowski',
+            'training.epochs=2', 'training.batch_size=4',
+            'training.num_workers=0', f'run_dir={workdir}/run'])
+print("TRAINED-OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_trainer_cli_matches_single_process(tmp_path):
+    """Full Trainer through the real config tree on 2 processes: rank 0
+    writes checkpoint+metrics identical to the single-process 4-device run,
+    rank 1 (log_dir=None tracker, deactivated visualizer, persist=False
+    checkpoint) writes nothing."""
+    import json
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    dirs = [tmp_path / f"rank{p}" for p in (0, 1)]
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _TRAINER_WORKER % {"devs": 2}, REPO,
+         str(d), coord, str(p)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for p, d in enumerate(dirs)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0 and "TRAINED-OK" in out, out[-3000:]
+    single_dir = tmp_path / "single"
+    single = subprocess.run(
+        [sys.executable, "-c", _TRAINER_WORKER % {"devs": 4}, REPO,
+         str(single_dir)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        timeout=600)
+    assert single.returncode == 0, single.stdout[-3000:]
+
+    # rank 0 owns the files; rank 1 wrote nothing
+    assert (dirs[0] / "run" / "MPointNet.ckpt").exists()
+    assert (dirs[0] / "run" / "metrics.jsonl").exists()
+    assert not (dirs[1] / "run" / "MPointNet.ckpt").exists()
+    assert not (dirs[1] / "run" / "metrics.jsonl").exists()
+
+    def metrics(d):
+        recs = [json.loads(l) for l in open(d / "run" / "metrics.jsonl")]
+        return [{k: v for k, v in r.items() if isinstance(v, (int, float))}
+                for r in recs]
+
+    got, want = metrics(dirs[0]), metrics(single_dir)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.keys() == w.keys()
+        for k in g:
+            # cross-host Gloo psums reduce in a different order than the
+            # single-process collectives -> f32 noise of ~1e-5 rel per step
+            np.testing.assert_allclose(g[k], w[k], rtol=1e-3, err_msg=k)
+
+
 @pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     """REAL multi-process run: 2 OS processes x 2 CPU devices each over
