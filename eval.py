@@ -27,7 +27,21 @@ def main(overrides=None):
     cfg = compose_from_checkpoint(overrides)
     if cfg is None:
         cfg = load_config(CONF_DIR, "eval", overrides)
+    else:
+        # the restored run_config carries the TRAIN-time visualization;
+        # the eval surface defaults to prediction export (conf/eval.yaml ->
+        # visualization: eval — the reference's eval writes gpkg/csv, the
+        # bridge to the eval notebooks). `visualization=<group>` overrides.
+        viz = next((o.split("=", 1)[1] for o in overrides
+                    if o.startswith("visualization=")), "eval")
+        cfg["visualization"] = _viz_group(viz)
     return _run_eval(cfg)
+
+
+def _viz_group(name: str) -> dict:
+    import yaml
+    with open(os.path.join(CONF_DIR, "visualization", f"{name}.yaml")) as f:
+        return yaml.safe_load(f)
 
 
 def _run_eval(cfg):
