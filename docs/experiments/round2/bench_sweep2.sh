@@ -31,6 +31,27 @@ run DPCR_BENCH_BS=32 DPCR_FOLD_CHUNKS=2
 # P6: non-divisor group sizes now correct (g=6/5)
 run DPCR_BENCH_BS=20
 run DPCR_BENCH_BS=24
+# decision rule for P1 (printed for whoever reads the log next): if the
+# scattermax line beats the baseline line by >2%, flip DPCR_SPARSE_POOL's
+# default in ops/sparse_stem.py and re-run bench.py to confirm.
+python - <<'PYEOF' 2>/dev/null | tee -a "$LOG"
+import json, re
+vals = {}
+for line in open("docs/experiments/round2/sweep2.log"):
+    if line.startswith("=== "):
+        key = line.strip("= \n")
+    elif line.startswith("{"):
+        try:
+            vals[key] = json.loads(line)["value"]
+        except Exception:
+            pass
+sm = vals.get("DPCR_SPARSE_POOL=scattermax")
+base = vals.get("DPCR_DUMMY=1")
+if sm and base:
+    print(f"[decision] scattermax {sm} vs baseline {base}: "
+          + ("FLIP the DPCR_SPARSE_POOL default" if sm > base * 1.02
+             else "keep dense pool"))
+PYEOF
 # P7: END-TO-END trainer throughput (loader + device overlapped) at the bench
 # shape — evidences the round-2 host-pipeline work (212 plots/s host ceiling)
 # against the device rate; reuses the bench compile (same shapes). 3 epochs,
