@@ -90,11 +90,18 @@ def make_post_collate(net) -> Optional[Callable]:
                               for b in (48, 64, 80, z_max_dim)})
 
             def post_collate(batch):
-                coords = _np.asarray(batch.coords)
-                mask = _np.asarray(batch.mask)
-                z = coords[..., 2]
-                z_need = int(z[mask].max()) + 1 if mask.any() else 1
-                zb = next((b for b in buckets if b >= z_need), z_max_dim)
+                import jax as _jax
+                if _jax.process_count() > 1:
+                    # the bucket must be identical on every host (same
+                    # compiled program) but depends on the LOCAL batch's
+                    # z-extent — pin to the max under multi-host
+                    zb = z_max_dim
+                else:
+                    coords = _np.asarray(batch.coords)
+                    mask = _np.asarray(batch.mask)
+                    z = coords[..., 2]
+                    z_need = int(z[mask].max()) + 1 if mask.any() else 1
+                    zb = next((b for b in buckets if b >= z_need), z_max_dim)
                 return _dc.replace(
                     batch, aux={"zcells": _np.zeros(zb, _np.int8)})
 

@@ -41,15 +41,23 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _leaf_spec(leaf) -> P:
-    # batch leaves all carry the batch axis first
-    return P("data") if np.ndim(leaf) >= 1 else P()
+def _leaf_spec(leaf, bs: Optional[int] = None) -> P:
+    # per-sample leaves carry the batch axis first; aux leaves that are NOT
+    # per-sample (e.g. the dense path's zcells shape tag, [Z]) stay
+    # replicated — batch-sharding them would mangle their global shape
+    # under multi-host
+    if np.ndim(leaf) < 1:
+        return P()
+    if bs is not None and np.shape(leaf)[0] != bs:
+        return P()
+    return P("data")
 
 
 def batch_sharding(mesh: Mesh, batch):
     """NamedSharding pytree matching `batch` — batch axis over 'data'."""
+    bs = getattr(batch, "batch_size", None)
     return jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf)), batch)
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, bs)), batch)
 
 
 def shard_batch(mesh: Mesh, batch):
@@ -86,10 +94,13 @@ def put_global_batch(mesh: Mesh, batch):
     host feeds only its own devices."""
     if jax.process_count() == 1:
         return shard_batch(mesh, batch)
+    bs = getattr(batch, "batch_size", None)
 
     def leaf_to_global(leaf):
         leaf = np.asarray(leaf)
-        sh = NamedSharding(mesh, _leaf_spec(leaf))
+        sh = NamedSharding(mesh, _leaf_spec(leaf, bs))
+        # replicated leaves (non-per-sample aux) must be identical on every
+        # process; their global shape equals the local shape
         return jax.make_array_from_process_local_data(sh, leaf)
 
     return jax.tree_util.tree_map(leaf_to_global, batch)

@@ -107,9 +107,12 @@ tx = optax.chain(optax.clip(100.0),
 runner = StepRunner(net=net, spec=spec, tx=tx, mesh=mesh, seed=0)
 gbatch = _example_batch(bs=8, n_voxels=256, grid=16)  # same on both ranks
 
+gbatch = dataclasses.replace(
+    gbatch, aux={"zcells": np.zeros(16, np.int8)})  # replicated aux leaf
+
 def local(leaf):
     a = np.asarray(leaf)
-    return a[pid * 4:(pid + 1) * 4]
+    return a[pid * 4:(pid + 1) * 4] if a.ndim >= 1 and a.shape[0] == 8 else a
 
 lbatch = jax.tree_util.tree_map(local, gbatch)
 state = runner.init_state(lbatch)
@@ -145,7 +148,9 @@ tx = optax.chain(optax.clip(100.0),
                  adabelief(cosine_annealing_warm_restarts(5e-3, 10, 2),
                            weight_decay=1e-2))
 runner = StepRunner(net=net, spec=spec, tx=tx, mesh=mesh, seed=0)
+import dataclasses
 batch = _example_batch(bs=8, n_voxels=256, grid=16)
+batch = dataclasses.replace(batch, aux={"zcells": np.zeros(16, np.int8)})
 state = runner.init_state(batch)
 losses = []
 for _ in range(2):
