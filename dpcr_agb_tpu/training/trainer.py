@@ -129,6 +129,10 @@ class Trainer:
             "center": _np.asarray(self.bundle.spec.center).tolist(),
             "weights": _np.asarray(self.bundle.spec.weights).tolist(),
         }
+        # label-free inference (predict.py) rebuilds the model + pipeline
+        # from the checkpoint alone — record the names it needs
+        self.checkpoint.checkpoint.dataset_properties.setdefault(
+            "reg_targets", list(getattr(self.dataset, "reg_targets", [])))
         if bool(get_t("enable_mixed", False)) and hasattr(self.bundle.net,
                                                           "dtype"):
             # TPU mixed precision: bf16 compute, f32 params/BN stats —

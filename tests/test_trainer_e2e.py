@@ -55,6 +55,24 @@ def test_eval_restores_and_exports(run_dir):
     assert csvs, "prediction export missing"
 
 
+def test_predict_cli_label_free(run_dir):
+    """predict.py: label-free inference from the checkpoint alone (model +
+    deterministic eval pipeline rebuilt from the stored run config) over raw
+    .las plot files — the serving path the reference's eval cannot do."""
+    import csv
+
+    import predict
+    out = predict.main([
+        f"checkpoint_dir={run_dir}/run", "model_name=MPointNet",
+        f"input={run_dir}/data/synthetic/raw/plots/*.las",
+        f"output={run_dir}/predictions.csv", "batch_size=8"])
+    rows = list(csv.reader(open(out)))
+    assert rows[0] == ["file", "pred_BMag_ha", "pred_V_ha"]
+    assert len(rows) - 1 == 16  # one prediction per input plot file
+    vals = np.array([[float(v) for v in r[1:]] for r in rows[1:]])
+    assert np.isfinite(vals).all()
+
+
 @pytest.mark.slow
 def test_double_batch_training(run_dir):
     cfg = _cfg(run_dir, "data.sparse_xy.double_batch=True",
