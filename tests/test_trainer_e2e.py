@@ -72,6 +72,23 @@ def test_predict_cli_label_free(run_dir):
     vals = np.array([[float(v) for v in r[1:]] for r in rows[1:]])
     assert np.isfinite(vals).all()
 
+    # .laz input through the native LASzip codec predicts identically to
+    # the .las original (same plot, same deterministic pipeline)
+    from dpcr_agb_tpu.data.las_io import read_pt, write_laz
+    src = f"{run_dir}/data/synthetic/raw/plots/plot_0000.las"
+    pos, _, _ = read_pt(src)
+    laz_dir = run_dir / "laz"
+    laz_dir.mkdir(exist_ok=True)
+    write_laz(str(laz_dir / "plot_0000.laz"), pos)
+    out2 = predict.main([
+        f"checkpoint_dir={run_dir}/run", "model_name=MPointNet",
+        f"input={laz_dir}/*.laz", f"output={run_dir}/predictions_laz.csv"])
+    laz_rows = list(csv.reader(open(out2)))
+    want = [float(v) for r in rows[1:] if r[0] == "plot_0000.las"
+            for v in r[1:]]
+    got = [float(v) for v in laz_rows[1][1:]]
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
 
 @pytest.mark.slow
 def test_double_batch_training(run_dir):
