@@ -150,8 +150,11 @@ class RandomNoise(Transform):
 
     def __call__(self, rng, sample):
         if rng.random() < self.p:
+            # float32 generation: ~2x cheaper than f64-then-cast on the
+            # loader hot path, same distribution
             noise = np.clip(self.sigma * rng.standard_normal(
-                sample["pos"].shape), -self.clip, self.clip)
+                sample["pos"].shape, dtype=np.float32),
+                -self.clip, self.clip)
             sample = dict(sample)
             sample["pos"] = (sample["pos"] + noise).astype(np.float32)
         return sample
