@@ -4,10 +4,10 @@
 trainer.py:361-418 joins predictions onto the geopandas label table).
 
 Loads a trained checkpoint, rebuilds the model and the DETERMINISTIC eval
-transform pipeline from the stored run config alone, runs every input
-point-cloud file (.las/.laz/.ply/.csv/.npz — one plot per file, the NFI
-distribution format) through the jitted eval step, and writes
-de-standardized predictions to csv.
+transform pipeline from the stored run config alone
+(dpcr_agb_tpu/serving.py), runs every input point-cloud file
+(.las/.laz/.ply/.csv/.npz — one plot per file, the NFI distribution format)
+through the jitted eval step, and writes de-standardized predictions to csv.
 
     python predict.py checkpoint_dir=outputs/run model_name=SENet14 \
         input='plots/*.las' output=preds.csv [weight_name=total_BMag_ha_rmse] \
@@ -29,7 +29,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 log = logging.getLogger(__name__)
-CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
 
 
 def _parse(overrides: List[str]) -> Dict[str, str]:
@@ -82,29 +81,13 @@ def main(overrides=None):
     import optax
 
     from dpcr_agb_tpu.data.batch import collate
-    from dpcr_agb_tpu.models.base import InstanceSpec
-    from dpcr_agb_tpu.models.factory import (_BUILDERS, _collate_spec,
-                                             make_post_collate)
-    from dpcr_agb_tpu.training.state import Checkpoint, TrainState
+    from dpcr_agb_tpu.serving import load_serving_bundle
+    from dpcr_agb_tpu.training.state import TrainState
     from dpcr_agb_tpu.training.step import StepRunner
-    from dpcr_agb_tpu.transforms import instantiate_transforms
 
-    ckpt_path = os.path.join(args["checkpoint_dir"],
-                             f"{args['model_name']}.ckpt")
-    ckpt = Checkpoint.from_bytes(open(ckpt_path, "rb").read())
-    rc = ckpt.run_config
-    data_cfg = rc["data"]
-    option = rc["models"][args["model_name"]]
-
-    # deterministic eval preset of the training transform_type
-    tt = args.get("transform_type") or data_cfg["transform_type"]
-    tt_used = next((c for c in (f"{tt}_eval", tt) if c in data_cfg), None)
-    if tt_used is None:
-        raise ValueError(f"transform preset {tt!r} not in the stored config")
-    tt_cfg = dict(data_cfg[tt_used] or {})
-    pre_tf = instantiate_transforms(tt_cfg.get("pre_transform")
-                                    or data_cfg.get("pre_transform"))
-    test_tf = instantiate_transforms(tt_cfg.get("test_transform"))
+    b = load_serving_bundle(args["checkpoint_dir"], args["model_name"],
+                            args.get("weight_name", "latest"),
+                            args.get("transform_type"))
 
     files = sorted(glob.glob(args["input"]))
     if os.path.isdir(args["input"]):
@@ -119,67 +102,35 @@ def main(overrides=None):
             for row in _csv.DictReader(f):
                 centers[row["file"]] = (float(row["x"]), float(row["y"]))
 
-    feature_cols = list(data_cfg.get("features", []) or [])
-    ts = ckpt.dataset_properties["target_stats"]
-    reg_targets = list(ckpt.dataset_properties.get("reg_targets", [])) or \
-        [f"target_{i}" for i in range(len(ts["scale"]))]
-
-    # build the deterministic per-file samples first: the model's input
-    # feature dimension comes from the transformed sample, exactly like
-    # LasDataset.feature_dimension (data/dataset.py)
     rng = np.random.default_rng(0)
     samples, names = [], []
     for path in files:
-        s = _sample_from_file(path, feature_cols,
-                              centers.get(os.path.basename(path)), pre_tf)
+        s = _sample_from_file(path, b.feature_cols,
+                              centers.get(os.path.basename(path)),
+                              b.pre_transform)
         if s is None:
             continue
-        samples.append(test_tf(rng, s))
+        samples.append(b.eval_transform(rng, s))
         names.append(os.path.basename(path))
     if not samples:
         raise ValueError("no usable input files")
-    n_targets = len(ts["scale"])
+    n_targets = len(b.reg_targets)
     for s in samples:  # label-free: NaN targets, all-False loss masks
         s["y_reg"] = np.full(n_targets, np.nan, np.float32)
         s["y_reg_mask"] = np.zeros(n_targets, bool)
-    feat_dim = int(samples[0].get("x", np.zeros((1, 0))).shape[-1])
 
-    class _Shim:
-        num_reg_classes = len(ts["scale"])
-        feature_dimension = feat_dim
-        dataset_opt = data_cfg
-        double_batch = False
-
-    net, conv_type = _BUILDERS[option["class"]](option, _Shim(), None)
-    conv_type = option.get("conv_type", conv_type)
-    get = option.get if hasattr(option, "get") else option.__getitem__
-    spec = InstanceSpec(
-        num_reg_targets=len(ts["scale"]),
-        scale=np.asarray(ts["scale"], np.float32),
-        center=np.asarray(ts["center"], np.float32),
-        weights=np.asarray(ts["weights"], np.float32),
-        out_activation=str(get("reg_out_activation", "linear")
-                           or "linear").lower(),
-        report_activation=str(get("reg_out_report_activation", "linear")
-                              or "linear").lower(),
-    )
-    collate_spec = _collate_spec(conv_type, option, _Shim())
-    post_collate = make_post_collate(net)
-
-    runner = StepRunner(net=net, spec=spec, tx=optax.sgd(0.0), mesh=None,
+    runner = StepRunner(net=b.net, spec=b.spec, tx=optax.sgd(0.0), mesh=None,
                         seed=0)
-    saved = ckpt.get_model_state(args.get("weight_name", "latest"))
-    state = TrainState(params=saved["params"],
-                       batch_stats=saved.get("batch_stats", {}),
+    state = TrainState(params=b.params, batch_stats=b.batch_stats,
                        opt_state=())
 
     bs = int(args.get("batch_size", 16))
     rows = []
     for i in range(0, len(samples), bs):
         chunk = samples[i:i + bs]
-        batch = collate(chunk, collate_spec, pad_to_batch=bs)
-        if post_collate is not None:
-            batch = post_collate(batch)
+        batch = collate(chunk, b.collate_spec, pad_to_batch=bs)
+        if b.post_collate is not None:
+            batch = b.post_collate(batch)
         out = runner.evaluate(state, batch)
         preds = np.asarray(out["reg_out"])[: len(chunk)]
         for name, p in zip(names[i:i + bs], preds):
@@ -190,7 +141,7 @@ def main(overrides=None):
     import csv as _csv
     with open(out_path, "w", newline="") as f:
         w = _csv.writer(f)
-        w.writerow(["file"] + [f"pred_{t}" for t in reg_targets])
+        w.writerow(["file"] + [f"pred_{t}" for t in b.reg_targets])
         w.writerows(rows)
     log.info(f"wrote {len(rows)} predictions to {out_path}")
     return out_path

@@ -90,6 +90,56 @@ def test_predict_cli_label_free(run_dir):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_export_model_stablehlo_roundtrip(run_dir):
+    """scripts/export_model.py: self-contained StableHLO artifact whose
+    deserialized call matches the live eval step on the same batch."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import optax
+
+    import export_model
+    from dpcr_agb_tpu.data.batch import collate
+    from dpcr_agb_tpu.serving import load_serving_bundle
+    from dpcr_agb_tpu.training.state import TrainState
+    from dpcr_agb_tpu.training.step import StepRunner
+
+    out = export_model.main([
+        f"checkpoint_dir={run_dir}/run", "model_name=MPointNet",
+        f"output={run_dir}/m.stablehlo", "batch_size=2", "num_points=4096"])
+    assert os.path.exists(out) and os.path.exists(out + ".json")
+
+    from jax import export as jexport
+    back = jexport.deserialize(open(out, "rb").read())
+
+    b = load_serving_bundle(f"{run_dir}/run", "MPointNet")
+    rng = np.random.default_rng(3)
+    samples = []
+    for _ in range(2):
+        s = {"pos": rng.normal(size=(900, 3)).astype(np.float32) * 0.3,
+             "label_idx": np.int64(0), "area_idx": np.int64(0)}
+        s = b.eval_transform(np.random.default_rng(0), s)
+        s["y_reg"] = np.full(2, np.nan, np.float32)
+        s["y_reg_mask"] = np.zeros(2, bool)
+        samples.append(s)
+    batch = collate(samples, b.collate_spec, pad_to_batch=2)
+    # pad the point dim up to the exported static shape
+    n = 4096 - batch.pos.shape[1]
+
+    def pad(a, fill=0):
+        return np.pad(np.asarray(a), ((0, 0), (0, n)) + ((0, 0),) * (a.ndim - 2),
+                      constant_values=fill)
+
+    got = np.asarray(back.call(pad(batch.pos), pad(batch.x),
+                               pad(batch.mask, False),
+                               pad(batch.coords, -(2 ** 20))))
+    runner = StepRunner(net=b.net, spec=b.spec, tx=optax.sgd(0.0), mesh=None,
+                        seed=0)
+    state = TrainState(params=b.params, batch_stats=b.batch_stats,
+                       opt_state=())
+    want = np.asarray(runner.evaluate(state, batch)["reg_out"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_double_batch_training(run_dir):
     cfg = _cfg(run_dir, "data.sparse_xy.double_batch=True",
