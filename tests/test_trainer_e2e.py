@@ -154,6 +154,41 @@ def test_double_batch_training(run_dir):
 
 
 @pytest.mark.slow
+def test_export_senet14_dense_path(tmp_path):
+    """Flagship export: SENet14 through the dense-grid fast path, with the
+    z-extent aux tag baked at its max bucket."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import export_model
+    cfg = load_config(CONF, "config", [
+        "task=instance", "models=instance/minkowski_baseline",
+        "model_name=SENet14", "data=instance/synthetic/reg",
+        "data.transform_type=sparse_xy", "data.synthetic_plots=20",
+        "data.first_subsampling=0.05",
+        "models.SENet14.extra_options.dense_dims=[24,24,32]",
+        f"data.dataroot={tmp_path}/data", "training=nfi/minkowski",
+        "training.epochs=1", "training.batch_size=4",
+        "training.num_workers=0", "debugging=early_break",
+        f"run_dir={tmp_path}/run"])
+    Trainer(cfg).train()
+    out = export_model.main([
+        f"checkpoint_dir={tmp_path}/run", "model_name=SENet14",
+        f"output={tmp_path}/senet14.stablehlo", "batch_size=2",
+        "num_points=2048"])
+    from jax import export as jexport
+    back = jexport.deserialize(open(out, "rb").read())
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(2, 2048, 3)).astype(np.float32)
+    x = np.ones((2, 2048, 3), np.float32)
+    mask = np.zeros((2, 2048), bool)
+    mask[:, :700] = True
+    coords = np.full((2, 2048, 3), -(2 ** 20), np.int32)
+    coords[:, :700] = rng.integers(0, 20, (2, 700, 3))
+    got = np.asarray(back.call(pos, x, mask, coords))
+    assert got.shape == (2, 2) and np.isfinite(got).all()
+
+
+@pytest.mark.slow
 def test_senet14_sparse_cli_e2e(tmp_path):
     """Flagship sparse-voxel path through the real CLI config tree: SENet14
     + sparse preset, a few steps (early_break), checkpoint written and
