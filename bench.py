@@ -35,7 +35,7 @@ def _probe_device_backend(timeout_s: float = 300.0) -> bool:
     CPU measurement instead.
     """
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        return False  # explicitly CPU-pinned: nothing to probe
+        return None  # explicitly CPU-pinned by the user: nothing to probe
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -48,22 +48,26 @@ def _probe_device_backend(timeout_s: float = 300.0) -> bool:
 
 
 def main():
-    device_up = _probe_device_backend(
+    # None = user explicitly pinned JAX_PLATFORMS=cpu (deliberate host
+    # baseline); False = probe failed (tunnel down) -> labeled fallback
+    probed = _probe_device_backend(
         float(os.environ.get("DPCR_PROBE_TIMEOUT", 300)))
+    device_up = probed is True
 
     import jax
     import optax
 
     if not device_up:
-        # TPU tunnel down: measure on CPU rather than hanging forever.
-        # The image's sitecustomize force-sets jax_platforms to "axon,cpu"
-        # (env vars are ignored), so pin via jax.config before the backend
-        # initializes. The metric name and a stderr note mark the fallback
-        # so the number is never mistaken for a chip measurement.
+        # Measure on CPU rather than hanging forever. The image's
+        # sitecustomize force-sets jax_platforms to "axon,cpu" (env vars are
+        # ignored), so pin via jax.config before the backend initializes.
+        # The metric name marks the fallback so the number is never mistaken
+        # for a chip measurement.
         jax.config.update("jax_platforms", "cpu")
-        print("[bench] device backend unavailable (tunnel down?) — "
-              "falling back to CPU; metric renamed accordingly",
-              file=sys.stderr)
+        if probed is False:
+            print("[bench] device backend unavailable (tunnel down?) — "
+                  "falling back to CPU; metric renamed accordingly",
+                  file=sys.stderr)
 
     # persistent compilation cache: TPU compiles through the axon tunnel are
     # slow (minutes); warm runs make the driver's bench invocation fast
@@ -122,6 +126,7 @@ def main():
 
     plots_per_sec = bs * n_steps / dt
     metric = ("train_throughput_msenet14_nfi" if device_up
+              else "train_throughput_msenet14_nfi_cpu" if probed is None
               else "train_throughput_msenet14_nfi_CPU_FALLBACK_tunnel_down")
     print(json.dumps({
         "metric": metric,

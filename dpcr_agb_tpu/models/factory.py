@@ -138,6 +138,31 @@ def make_post_collate(net) -> Optional[Callable]:
     return None
 
 
+def export_aux(net):
+    """Static `batch.aux` for a standalone (StableHLO) export, or None.
+
+    Models whose aux is *input-dependent* (map-mode SparseResNet kernel maps,
+    KPConv neighbor pyramids — both computed per batch by the host
+    post-collate) cannot be baked into a fixed artifact; raise for those.
+    The dense-grid path's aux is only a static z-extent tag: bake the FULL
+    z extent so serving inputs of any height are representable (a probe
+    through make_post_collate would pick the smallest bucket instead and
+    silently drop voxels above it at scatter time)."""
+    import numpy as _np
+
+    from .kpconv import KPCNN
+    from .minkowski import SparseResNet
+    if isinstance(net, KPCNN) or (
+            isinstance(net, SparseResNet) and net.dense_dims is None):
+        raise ValueError(
+            f"{type(net).__name__} consumes host-precomputed, input-dependent "
+            "batch.aux (neighbor pyramids / kernel maps) and cannot be "
+            "exported as a standalone artifact; serve it with predict.py")
+    if isinstance(net, SparseResNet):
+        return {"zcells": _np.zeros(net.dense_dims[2], _np.int8)}
+    return None
+
+
 def _collate_spec(conv_type: str, option, dataset) -> CollateSpec:
     dataset_opt = getattr(dataset, "dataset_opt", {})
     get = dataset_opt.get if hasattr(dataset_opt, "get") else dict(dataset_opt).get

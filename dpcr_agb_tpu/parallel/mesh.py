@@ -41,12 +41,22 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _leaf_spec(leaf, bs: Optional[int] = None) -> P:
+# aux leaves that are pure shape tags, replicated regardless of their
+# length (a [Z] zcells tag whose Z coincidentally equals the batch size
+# must NOT be batch-sharded — that would mangle the model's z extent
+# under multi-host)
+_TAG_KEYS = frozenset({"zcells"})
+
+
+def _path_is_tag(path) -> bool:
+    return any(getattr(k, "key", None) in _TAG_KEYS for k in path)
+
+
+def _leaf_spec(path, leaf, bs: Optional[int] = None) -> P:
     # per-sample leaves carry the batch axis first; aux leaves that are NOT
-    # per-sample (e.g. the dense path's zcells shape tag, [Z]) stay
-    # replicated — batch-sharding them would mangle their global shape
-    # under multi-host
-    if np.ndim(leaf) < 1:
+    # per-sample (shape tags like zcells, or anything without the batch
+    # leading dim) stay replicated
+    if _path_is_tag(path) or np.ndim(leaf) < 1:
         return P()
     if bs is not None and np.shape(leaf)[0] != bs:
         return P()
@@ -56,8 +66,9 @@ def _leaf_spec(leaf, bs: Optional[int] = None) -> P:
 def batch_sharding(mesh: Mesh, batch):
     """NamedSharding pytree matching `batch` — batch axis over 'data'."""
     bs = getattr(batch, "batch_size", None)
-    return jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, bs)), batch)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf, bs)),
+        batch)
 
 
 def shard_batch(mesh: Mesh, batch):
@@ -96,11 +107,11 @@ def put_global_batch(mesh: Mesh, batch):
         return shard_batch(mesh, batch)
     bs = getattr(batch, "batch_size", None)
 
-    def leaf_to_global(leaf):
+    def leaf_to_global(path, leaf):
         leaf = np.asarray(leaf)
-        sh = NamedSharding(mesh, _leaf_spec(leaf, bs))
+        sh = NamedSharding(mesh, _leaf_spec(path, leaf, bs))
         # replicated leaves (non-per-sample aux) must be identical on every
         # process; their global shape equals the local shape
         return jax.make_array_from_process_local_data(sh, leaf)
 
-    return jax.tree_util.tree_map(leaf_to_global, batch)
+    return jax.tree_util.tree_map_with_path(leaf_to_global, batch)

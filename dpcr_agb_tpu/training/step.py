@@ -137,11 +137,15 @@ class StepRunner:
     def __post_init__(self):
         # under a mesh, switch scatters/gathers to the batch-dim-preserving
         # layout BEFORE any trace (ops/layout.py: the batch-flattened forms
-        # force GSPMD to replicate their tables through giant collectives)
-        from ..ops import layout
-        layout.set_batch_local(self.mesh is not None,
-                               self.mesh.devices.size
-                               if self.mesh is not None else 1)
+        # force GSPMD to replicate their tables through giant collectives).
+        # The flags are process-global and read at TRACE time, and a jitted
+        # step retraces on any new input shape (e.g. a fresh collate bucket)
+        # — so a second StepRunner with different mesh-ness must not leak its
+        # layout into this runner's future retraces. Remember this runner's
+        # layout and re-assert it before every dispatch (_assert_layout).
+        self._layout = (self.mesh is not None,
+                        self.mesh.devices.size if self.mesh is not None else 1)
+        self._assert_layout()
         self._train_step = make_train_step(self.net, self.spec, self.tx,
                                            self.mesh, self.regularizer,
                                            self.seed)
@@ -154,6 +158,7 @@ class StepRunner:
     def init_state(self, example_batch) -> TrainState:
         # jit the init: eager flax init would dispatch thousands of single
         # ops (prohibitive over a remote-TPU transport)
+        self._assert_layout()
         rngs = {"params": jax.random.fold_in(self._root_rng, 0),
                 "dropout": jax.random.fold_in(self._root_rng, 1)}
         if self.mesh is None:
@@ -181,7 +186,14 @@ class StepRunner:
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=opt_state)
 
+    def _assert_layout(self):
+        from ..ops import layout
+        layout.set_batch_local(*self._layout)
+
     def _put(self, batch):
+        # every dispatch can retrace (new bucket shape), and the layout flags
+        # are read at trace time — re-assert this runner's layout first
+        self._assert_layout()
         return (put_global_batch(self.mesh, batch)
                 if self.mesh is not None else batch)
 

@@ -300,6 +300,28 @@ class Trainer:
             if spec.buckets:
                 spec = dataclasses.replace(spec,
                                            buckets=(max(spec.buckets),))
+            elif spec.num_points is None:
+                # dense collate without a fixed point count pads each batch
+                # to a power of two of the LOCAL max count — data-dependent
+                # per process, so hosts could compile different shapes and
+                # deadlock. Refuse rather than hang nondeterministically.
+                raise ValueError(
+                    "multi-host run with a dense collate needs a "
+                    "deterministic global shape: set the preset's "
+                    "num_points (e.g. transform_type=fixed_xy) or a "
+                    "bucket ladder")
+            if getattr(self.dataset, "pre_batch_collate_transform", None) \
+                    is not None:
+                # the batch-level hook (ClampBatchSize) makes sample-drop
+                # decisions from the whole batch's point counts; under
+                # sharding each process would clamp its own slice — a
+                # different global batch (and point budget) than the
+                # single-process run. Refuse rather than silently diverge.
+                raise ValueError(
+                    "multi-host run is incompatible with "
+                    "pre_batch_collate_transform (per-shard clamping would "
+                    "diverge from the single-process batch); drop the hook "
+                    "or run single-host")
             shard = (jax.process_index(), self._n_proc)
         self.loaders: Dict[str, Optional[Loader]] = {}
         for split in ("train", "val", "test"):

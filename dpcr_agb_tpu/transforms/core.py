@@ -87,6 +87,8 @@ def unique_int_rows(rows: np.ndarray):
     Rows must hold integral values (floor/round outputs); falls back to
     np.unique when the packed key would overflow int64.
     """
+    if len(rows) == 0:  # degenerate plot (all points filtered upstream)
+        return rows.copy(), np.empty(0, dtype=np.int64)
     c = rows.astype(np.int64) if rows.dtype != np.int64 else rows
     lo = c.min(axis=0)
     c = c - lo

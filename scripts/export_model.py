@@ -49,15 +49,16 @@ def main(overrides=None):
 
     from dpcr_agb_tpu.data.batch import PAD_COORD, Batch
     from dpcr_agb_tpu.models.base import convert_outputs, reg_output
+    from dpcr_agb_tpu.models.factory import export_aux
     from dpcr_agb_tpu.serving import load_serving_bundle
 
     b = load_serving_bundle(args["checkpoint_dir"], args["model_name"],
                             args.get("weight_name", "latest"),
                             args.get("transform_type"))
-    if type(b.net).__name__ == "KPCNN":
-        raise ValueError("KPConv needs host-precomputed pyramids at runtime "
-                         "and cannot be exported as a standalone artifact; "
-                         "serve it with predict.py instead")
+    # raises for models whose aux is input-dependent (KPConv pyramids,
+    # map-mode sparse kernel maps); returns the full-z-extent tag for the
+    # dense-grid path so tall plots are never cropped at serving time
+    aux = export_aux(b.net)
 
     bs = int(args.get("batch_size", 16))
     n_pts = int(args.get("num_points")
@@ -72,21 +73,6 @@ def main(overrides=None):
 
     variables = {"params": b.params, "batch_stats": b.batch_stats}
     use_coords = bool(b.collate_spec.use_coords)
-    aux = None
-    if b.post_collate is not None:
-        # dense-grid models carry a static z-extent tag; bake the max bucket
-        probe = Batch(
-            pos=np.zeros((bs, n_pts, 3), np.float32),
-            x=np.zeros((bs, n_pts, c_dim), np.float32),
-            mask=np.zeros((bs, n_pts), bool),
-            y_reg=np.zeros((bs, n_targets), np.float32),
-            y_reg_mask=np.zeros((bs, n_targets), bool),
-            area_idx=np.zeros(bs, np.int32),
-            label_idx=np.zeros(bs, np.int64),
-            is_double=np.zeros(bs, bool),
-            coords=np.full((bs, n_pts, 3), PAD_COORD, np.int32)
-            if use_coords else None)
-        aux = b.post_collate(probe).aux
 
     spec = b.spec
 

@@ -228,3 +228,43 @@ def test_dense_path_stays_bf16_end_to_end(rng):
         and np.prod(v_.aval.shape[1:4]) > 8  # ignore the tiny f32 head cast
     ]
     assert not f32_volumes, f32_volumes[:5]
+
+
+class TestExportAux:
+    """export_aux (models/factory.py): the static aux baked into StableHLO
+    artifacts. The dense path must get the FULL z extent (a post_collate
+    probe would pick the smallest z bucket and crop tall plots at serving
+    time); input-dependent-aux models must be rejected."""
+
+    def _resnet(self, dense_dims):
+        from dpcr_agb_tpu.models.minkowski import build_resnet
+
+        class _DS:
+            num_reg_classes = 2
+
+        return build_resnet("SENet14", {
+            "activation": "gelu", "first_stride": 1, "global_pool": "sum",
+            "extra_options": {"dense_dims": dense_dims}}, _DS())
+
+    def test_dense_path_bakes_full_z_extent(self):
+        from dpcr_agb_tpu.models.factory import export_aux
+        aux = export_aux(self._resnet((24, 24, 104)))
+        assert aux["zcells"].shape == (104,)
+
+    def test_map_mode_rejected(self):
+        from dpcr_agb_tpu.models.factory import export_aux
+        with pytest.raises(ValueError, match="predict.py"):
+            export_aux(self._resnet(None))
+
+    def test_kpconv_rejected(self):
+        from dpcr_agb_tpu.models.factory import export_aux
+        from dpcr_agb_tpu.models.kpconv import KPCNN
+        net = KPCNN(architecture=["simple", "global_sum"],
+                    num_reg_targets=2, in_features_dim=1)
+        with pytest.raises(ValueError, match="predict.py"):
+            export_aux(net)
+
+    def test_point_model_none(self):
+        from dpcr_agb_tpu.models.factory import export_aux
+        from dpcr_agb_tpu.models.pointnet import MPointNet
+        assert export_aux(MPointNet(num_reg_targets=2)) is None

@@ -120,3 +120,64 @@ def test_mesh_step_collectives_are_gradient_sized():
     # and the step still runs
     state, out = runner.train(state, batch)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_layout_flags_do_not_leak_across_runners():
+    """ops/layout.py flags are process-global and read at trace time; a
+    second StepRunner (e.g. an in-process predict/calibrate runner without
+    a mesh) must not flip the layout for an existing mesh runner's future
+    retraces — each dispatch re-asserts its own layout."""
+    import optax
+
+    from dpcr_agb_tpu.models.base import InstanceSpec
+    from dpcr_agb_tpu.models.pointnet import MPointNet
+    from dpcr_agb_tpu.ops import layout
+    from dpcr_agb_tpu.parallel.mesh import make_mesh, shard_batch
+    from dpcr_agb_tpu.training.step import StepRunner
+    from __graft_entry__ import _example_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual platform")
+    spec = InstanceSpec(
+        num_reg_targets=2, scale=np.ones(2, np.float32),
+        center=np.zeros(2, np.float32), weights=np.full(2, 0.5, np.float32))
+    tx = optax.sgd(1e-3)
+    net = MPointNet(num_reg_targets=2)
+    mesh_runner = StepRunner(net=net, spec=spec, tx=tx, mesh=make_mesh(8))
+    assert layout.BATCH_LOCAL is True
+    # constructing a non-mesh runner flips the globals ...
+    solo_runner = StepRunner(net=net, spec=spec, tx=tx, mesh=None)
+    assert layout.BATCH_LOCAL is False
+    # ... but any mesh-runner dispatch (incl. a retrace on a NEW bucket
+    # shape) re-asserts the batch-local layout first
+    batch = shard_batch(mesh_runner.mesh,
+                        _example_batch(bs=8, n_voxels=256, grid=16))
+    state = mesh_runner.init_state(batch)
+    state, out = mesh_runner.train(state, batch)
+    assert layout.BATCH_LOCAL is True and layout.DATA_PARALLEL_DEGREE == 8
+    assert np.isfinite(float(out["loss"]))
+    # and the solo runner restores its own flat layout on its next dispatch
+    solo_state = solo_runner.init_state(_example_batch(bs=2, n_voxels=256,
+                                                       grid=16))
+    assert layout.BATCH_LOCAL is False
+    del solo_state
+
+
+def test_zcells_tag_replicated_even_when_length_equals_batch_size():
+    """The dense path's [Z] zcells shape tag must stay replicated even when
+    Z coincidentally equals the batch size — batch-sharding it under
+    multi-host would stitch a [Z*nproc] global tag and silently change the
+    model's z extent."""
+    import dataclasses
+
+    from dpcr_agb_tpu.parallel.mesh import batch_sharding, make_mesh
+    from jax.sharding import PartitionSpec as P
+    from __graft_entry__ import _example_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual platform")
+    b = _example_batch(bs=16, n_voxels=64, grid=16)
+    b = dataclasses.replace(b, aux={"zcells": np.zeros(16, np.int8)})
+    sh = batch_sharding(make_mesh(8), b)
+    assert sh.aux["zcells"].spec == P()
+    assert sh.pos.spec == P("data")

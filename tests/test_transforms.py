@@ -177,6 +177,7 @@ def test_unique_int_rows_matches_np_unique(rng):
             rng.integers(-3, 3, (2000, 3)).astype(np.float32),  # heavy dups
             np.zeros((7, 3)),                                   # all one voxel
             np.round(rng.normal(0, 2, (1, 3))),                 # single row
+            np.empty((0, 3)),                                   # empty plot
             rng.integers(0, 2**22, (500, 3)).astype(np.int64),  # overflow path
     ):
         uniq, inv = unique_int_rows(rows)
