@@ -28,7 +28,8 @@ class Loader:
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
                  post_collate: Optional[Callable] = None,
                  pre_batch_collate: Optional[Callable] = None,
-                 shard: Optional[Tuple[int, int]] = None):
+                 shard: Optional[Tuple[int, int]] = None,
+                 put_fn: Optional[Callable] = None):
         self.dataset = dataset
         self.transform = transform
         self.batch_size = batch_size
@@ -41,6 +42,12 @@ class Loader:
         self.prefetch = prefetch
         self.post_collate = post_collate
         self.pre_batch_collate = pre_batch_collate
+        # optional device placement in the worker threads (e.g.
+        # StepRunner.device_put): the host->device copy of batch k+1 then
+        # overlaps the device step of batch k instead of serializing at
+        # dispatch time — on a remote-TPU transport the per-batch transfer
+        # is otherwise on the critical path
+        self.put_fn = put_fn
         # multi-host data parallelism: shard=(process_index, process_count).
         # batch_size stays GLOBAL; every process derives the SAME epoch index
         # stream (identical seed), then builds only its contiguous
@@ -127,6 +134,8 @@ class Loader:
                         n_valid=0 if empty else None)
             if self.post_collate is not None:
                 b = self.post_collate(b)
+            if self.put_fn is not None:
+                b = self.put_fn(b)
             return b
 
         def produce():

@@ -190,12 +190,26 @@ class StepRunner:
         from ..ops import layout
         layout.set_batch_local(*self._layout)
 
+    def device_put(self, batch):
+        """Transfer a host batch to device ahead of dispatch (loader-side
+        prefetch, Loader(put_fn=...)): the H2D copy of batch k+1 overlaps
+        the device step of batch k. Safe from worker threads — placement
+        only, no tracing."""
+        return (put_global_batch(self.mesh, batch)
+                if self.mesh is not None else jax.device_put(batch))
+
     def _put(self, batch):
         # every dispatch can retrace (new bucket shape), and the layout flags
         # are read at trace time — re-assert this runner's layout first
         self._assert_layout()
-        return (put_global_batch(self.mesh, batch)
-                if self.mesh is not None else batch)
+        if self.mesh is None:
+            return batch
+        # already placed by a loader put_fn (device arrays): re-putting is a
+        # no-op single-host but np.asarray would break on multi-host globals
+        leaves = jax.tree_util.tree_leaves(batch)
+        if leaves and all(isinstance(l, jax.Array) for l in leaves):
+            return batch
+        return put_global_batch(self.mesh, batch)
 
     def train(self, state: TrainState, batch) -> tuple:
         params, stats, opt_state, out = self._train_step(

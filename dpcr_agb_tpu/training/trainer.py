@@ -323,6 +323,15 @@ class Trainer:
                     "diverge from the single-process batch); drop the hook "
                     "or run single-host")
             shard = (jax.process_index(), self._n_proc)
+        # loader-side device placement: the H2D copy of batch k+1 overlaps
+        # the device step of batch k (on the remote-TPU transport the
+        # per-batch transfer otherwise sits on the critical path). Single
+        # process only: under multi-host the tracker/visualizer read the
+        # LOCAL numpy batch, which put_fn would replace with global arrays.
+        put_fn = None
+        if self._n_proc == 1 and \
+                os.environ.get("DPCR_DEVICE_PREFETCH", "1") == "1":
+            put_fn = (lambda b: self.runner.device_put(b))
         self.loaders: Dict[str, Optional[Loader]] = {}
         for split in ("train", "val", "test"):
             ds = self.dataset.datasets.get(split)
@@ -340,7 +349,7 @@ class Trainer:
                 post_collate=self.bundle.post_collate,
                 pre_batch_collate=getattr(
                     self.dataset, "pre_batch_collate_transform", None),
-                shard=shard)
+                shard=shard, put_fn=put_fn)
 
     def _example_batch(self):
         for split in ("train", "val", "test"):

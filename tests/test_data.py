@@ -314,3 +314,22 @@ def test_loader_pre_batch_collate(synth_root):
         dropped_somewhere |= real.sum() < 4
         assert per_sample[real].sum() <= budget or real.sum() == 1
     assert dropped_somewhere
+
+
+def test_loader_put_fn_places_batches_on_device(synth_root):
+    """put_fn (loader-side device prefetch) runs in the worker threads and
+    the yielded batches are already device arrays — content identical to
+    the host batches."""
+    import jax
+
+    ds = instantiate_dataset(_dataset_cfg(synth_root))
+    kw = dict(batch_size=4, spec=CollateSpec(num_points=2048), shuffle=True,
+              seed=3, num_workers=2)
+    host = list(Loader(ds.train_dataset, ds.train_transform, **kw).epoch(0))
+    dev = list(Loader(ds.train_dataset, ds.train_transform,
+                      put_fn=jax.device_put, **kw).epoch(0))
+    assert len(host) == len(dev) > 0
+    for hb, db in zip(host, dev):
+        assert isinstance(db.pos, jax.Array)
+        np.testing.assert_array_equal(np.asarray(db.pos), hb.pos)
+        np.testing.assert_array_equal(np.asarray(db.mask), hb.mask)
