@@ -57,6 +57,11 @@ PYEOF
 # against the device rate; reuses the bench compile (same shapes). 3 epochs,
 # read the "plots/s" lines of epochs 2-3 (epoch 1 pays compile).
 echo "=== e2e trainer senet14 sparse_xy bs16 ===" | tee -a "$LOG"
+# A/B the loader-side device prefetch (DPCR_DEVICE_PREFETCH, default 1):
+# epoch-2/3 plots/s with the H2D copy overlapped vs at dispatch time.
+for DP in 1 0; do
+echo "=== e2e DPCR_DEVICE_PREFETCH=$DP ===" | tee -a "$LOG"
+DPCR_DEVICE_PREFETCH=$DP \
 timeout 5400 python -u -c "
 import sys; sys.path.insert(0,'.')
 import train, tempfile
@@ -68,3 +73,8 @@ train.main(['task=instance','models=instance/minkowski_baseline',
  'training.batch_size=16','training.num_workers=4','eval_frequency=10',
  f'run_dir={tmp}/run'])
 " 2>&1 | grep -E "plots/s|EPOCH" | tee -a "$LOG"
+done
+# P8: serving-path (forward-only) throughput — the predict.py / StableHLO
+# compute path has no recorded device number yet
+echo "=== infer throughput ===" | tee -a "$LOG"
+timeout 5400 python docs/experiments/round2/exp_infer_throughput.py 2>&1 | tail -1 | tee -a "$LOG"
