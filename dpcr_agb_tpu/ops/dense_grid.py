@@ -34,7 +34,9 @@ NEG_INF = -1e30
 # Stem/pool execution modes (ops/dense_stem.py), env-selectable so bench
 # sweeps can toggle without code edits:
 #   DPCR_STEM_MODE: "xla3d" (default) | "zfold_firewall" | "zfold2d_firewall"
-#   DPCR_POOL_BWD:  "xla" (default: select_and_scatter) | "manual"
+#   DPCR_POOL_BWD:  "xla" (default: select_and_scatter) | "manual" |
+#                   "separable" | "pallas" (ops/pallas_pool.py fused
+#                   plane-streamed fwd + equality-routed bwd kernels)
 STEM_MODE = os.environ.get("DPCR_STEM_MODE", "xla3d")
 POOL_BWD_MODE = os.environ.get("DPCR_POOL_BWD", "xla")
 # DPCR_L0: "sparse" (default — ops/sparse_stem.py computes the stem only
@@ -231,6 +233,12 @@ def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
     if POOL_BWD_MODE == "manual":
         from .dense_stem import manual_max_pool
         return manual_max_pool(x, occ_in, occ_out)
+    if POOL_BWD_MODE == "pallas":
+        from .pallas_pool import pallas_max_pool
+        # interpret on non-TPU backends (CPU tests/virtual meshes); the
+        # flag is static so each backend gets its own cached trace
+        return pallas_max_pool(x, occ_in, occ_out,
+                               jax.default_backend() != "tpu")
     filled = jnp.where(occ_in > 0, x, jnp.asarray(NEG_INF, x.dtype))
     y = windowed_max(filled, separable=POOL_BWD_MODE == "separable")
     return jnp.where(occ_out > 0, y, 0.0)
