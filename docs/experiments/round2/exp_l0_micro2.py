@@ -294,29 +294,61 @@ def chain_l0_section(n):
     return run
 
 
-def main():
+# name -> (chain factory, which args it takes)
+CHAINS = {
+    "scatter3": (chain_scatter3, "xcm"),
+    "fold_g7": (chain_fold, "xcm"),
+    "gather7": (chain_gather, "xcm"),
+    "stem_fwd": (chain_stem_fwd, "xcmw"),
+    "stem_dw": (chain_stem_dw, "xcmw"),
+    "stem_dw_remat": (chain_stem_dw_remat, "xcmw"),
+    "bn_gelu": (chain_bn_gelu, "hm"),
+    "scatter64": (chain_scatter64, "hcm"),
+    "occ_pool": (chain_occ_pool, "xcm"),
+    "pool_fwd": (chain_pool_fwd, "hcm"),
+    "pool_fb": (chain_pool_fb, "hcm"),
+    "l0_section": (chain_l0_section, "xcmw"),
+}
+POOL_SUBSET = ["pool_fwd", "pool_fb", "l0_section"]
+
+
+def _run_one(name):
     coords, mask, x, wts = make_batch()
     h64 = jnp.asarray(
         np.random.default_rng(1).normal(size=(B, V, COUT)) *
         np.asarray(mask)[..., None], DT)
+    pick = {"x": x, "c": coords, "m": mask, "w": wts, "h": h64}
+    chain, argspec = CHAINS[name]
+    return timed_diff(chain, tuple(pick[a] for a in argspec))
+
+
+def main():
+    only = os.environ.get("DPCR_L0_MICRO_ONLY")
+    if only:
+        # child mode: one chain in a fresh process (full-run OOM isolation)
+        print(json.dumps({only: _run_one(only)}))
+        return
+    if os.environ.get("DPCR_L0_MICRO_POOL_ONLY"):
+        names = POOL_SUBSET   # e.g. under DPCR_POOL_BWD=pallas
+    else:
+        names = list(CHAINS)
+    # each chain in its own subprocess: one chain's executables + transient
+    # tables can approach the 16 GB HBM alone (gather7 OOM'ed a shared run)
+    import subprocess
     r = {}
-
-    def t(name, chain, args):
-        r[name] = timed_diff(chain, args)
-        print(f"{name:14s}: {r[name]:8.2f} ms", flush=True)
-
-    t("scatter3", chain_scatter3, (x, coords, mask))
-    t("fold_g7", chain_fold, (x, coords, mask))
-    t("gather7", chain_gather, (x, coords, mask))
-    t("stem_fwd", chain_stem_fwd, (x, coords, mask, wts))
-    t("stem_dw", chain_stem_dw, (x, coords, mask, wts))
-    t("stem_dw_remat", chain_stem_dw_remat, (x, coords, mask, wts))
-    t("bn_gelu", chain_bn_gelu, (h64, mask))
-    t("scatter64", chain_scatter64, (h64, coords, mask))
-    t("occ_pool", chain_occ_pool, (x, coords, mask))
-    t("pool_fwd", chain_pool_fwd, (h64, coords, mask))
-    t("pool_fb", chain_pool_fb, (h64, coords, mask))
-    t("l0_section", chain_l0_section, (x, coords, mask, wts))
+    for name in names:
+        env = dict(os.environ, DPCR_L0_MICRO_ONLY=name)
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=1800)
+        line = (p.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            r.update(json.loads(line))
+            print(f"{name:14s}: {r[name]:8.2f} ms", flush=True)
+        except (json.JSONDecodeError, KeyError):
+            print(f"{name:14s}: FAILED rc={p.returncode} "
+                  f"{p.stderr.strip().splitlines()[-1][:120] if p.stderr else ''}",
+                  flush=True)
     print(json.dumps(r))
 
 

@@ -135,9 +135,26 @@ FOLD_BYTES_BUDGET = int(os.environ.get("DPCR_FOLD_BYTES", 3_500_000_000))
 # the folded table is TRANSIENT, so chunking divides its HBM footprint by
 # the chunk count — which in turn lets _pick_group keep g=k (fewest gather
 # rows) at batch sizes whose full-batch fold would blow the budget (bs32
-# degraded to g=2 in round 2). Row count is unchanged; only table
-# residency shrinks. Must divide the batch size.
-FOLD_CHUNKS = int(os.environ.get("DPCR_FOLD_CHUNKS", 1))
+# degraded to g=2 in round 2; chunked bs32 measured 65.7 vs 58.9 plots/s).
+# Row count is unchanged; only table residency shrinks. Must divide the
+# batch size. 0 (default) = AUTO: the smallest divisor of the batch that
+# restores the full group size g=k, or no chunking if none helps.
+FOLD_CHUNKS = int(os.environ.get("DPCR_FOLD_CHUNKS", 0))
+
+
+def _auto_chunks(k: int, cin: int, dims, b: int, itemsize: int) -> int:
+    """Smallest chunk count (a divisor of b, leaving >1 sample per chunk)
+    whose per-chunk batch admits the full fold group g=k under the HBM
+    budget; 1 (unchunked) when the full batch already folds at g=k or no
+    divisor reaches it (a partial-g improvement never repays the lax.map
+    serialization of the two big gathers)."""
+    if _pick_group(k, cin, dims, b, itemsize) == k:
+        return 1
+    for c in range(2, b // 2 + 1):
+        if b % c == 0 and b // c > 1 \
+                and _pick_group(k, cin, dims, b // c, itemsize) == k:
+            return c
+    return 1
 
 
 def _fold_geometry(h: int, k: int, g: int) -> Tuple[int, int]:
@@ -248,21 +265,25 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
                         np.dtype(compute_dtype).itemsize)
         return _per_sample(_stem_conv_core, 3, coords, mask, feats, dims,
                            weights, kernel_size, compute_dtype, g)
-    if FOLD_CHUNKS > 1:
-        if b % FOLD_CHUNKS != 0 or b == FOLD_CHUNKS:
+    chunks = FOLD_CHUNKS
+    if chunks == 0:
+        chunks = _auto_chunks(kernel_size, feats.shape[-1], dims, b,
+                              np.dtype(compute_dtype).itemsize)
+    if chunks > 1:
+        if b % chunks != 0 or b == chunks:
             raise ValueError(
-                f"DPCR_FOLD_CHUNKS={FOLD_CHUNKS} must divide the batch "
+                f"DPCR_FOLD_CHUNKS={chunks} must divide the batch "
                 f"size (got {b}) and leave >1 sample per chunk — refusing "
                 "to fall back silently (the unchunked fold has a different "
                 "memory/group-size profile)")
-        bc = b // FOLD_CHUNKS
+        bc = b // chunks
         y = jax.lax.map(
             lambda args: _stem_conv_core(
                 args[0], args[1], args[2], dims, weights, kernel_size,
                 compute_dtype),
-            (coords.reshape(FOLD_CHUNKS, bc, v, 3),
-             mask.reshape(FOLD_CHUNKS, bc, v),
-             feats.reshape(FOLD_CHUNKS, bc, v, -1)))
+            (coords.reshape(chunks, bc, v, 3),
+             mask.reshape(chunks, bc, v),
+             feats.reshape(chunks, bc, v, -1)))
         return y.reshape(b, v, cout)
     return _stem_conv_core(coords, mask, feats, dims, weights, kernel_size,
                            compute_dtype)
