@@ -1,6 +1,9 @@
 #!/bin/bash
-# Round-2 third sweep: L0 op-level decomposition + Pallas pool evaluation.
+# Round-2 third sweep: Pallas pool evaluation + L0 op-level decomposition.
 # Run ON THE REAL TPU from the repo root, after bench_sweep2.sh.
+# PRIORITY-ORDERED (each fresh-process full-model compile ~20-35 min through
+# the axon tunnel): the bench-deciding Pallas-pool runs go first, the
+# micro decompositions last so the window can close on them safely.
 set -u
 cd "$(dirname "$0")/../../.."
 LOG=docs/experiments/round2/sweep3.log
@@ -33,18 +36,20 @@ print("bwd allclose(2%):",
                         rtol=2e-2, atol=1e-3)))
 PYEOF
 
-echo "=== L0 micro decomposition (xla pool) ===" | tee -a "$LOG"
-timeout 5400 python docs/experiments/round2/exp_l0_micro2.py 2>&1 \
-  | grep -vE "WARNING" | tee -a "$LOG"
-
-echo "=== L0 micro pool chains (pallas pool) ===" | tee -a "$LOG"
-timeout 3000 env DPCR_POOL_BWD=pallas DPCR_L0_MICRO_POOL_ONLY=1 \
-  python docs/experiments/round2/exp_l0_micro2.py 2>&1 \
-  | grep -vE "WARNING" | tee -a "$LOG"
-
 echo "=== bench DPCR_POOL_BWD=pallas bs16 ===" | tee -a "$LOG"
 timeout 3000 env DPCR_POOL_BWD=pallas python bench.py 2>&1 | tail -1 | tee -a "$LOG"
 
 echo "=== bench DPCR_POOL_BWD=pallas bs32 (auto fold chunks) ===" | tee -a "$LOG"
 timeout 3000 env DPCR_POOL_BWD=pallas DPCR_BENCH_BS=32 \
   python bench.py 2>&1 | tail -1 | tee -a "$LOG"
+
+echo "=== L0 micro pool chains (pallas pool) ===" | tee -a "$LOG"
+timeout 3000 env DPCR_POOL_BWD=pallas DPCR_L0_MICRO_POOL_ONLY=1 \
+  python docs/experiments/round2/exp_l0_micro2.py 2>&1 \
+  | grep -vE "WARNING" | tee -a "$LOG"
+
+echo "=== L0 micro decomposition (xla pool) ===" | tee -a "$LOG"
+timeout 5400 python docs/experiments/round2/exp_l0_micro2.py 2>&1 \
+  | grep -vE "WARNING" | tee -a "$LOG"
+
+echo "[sweep3] done $(date -u +%H:%M:%S)" | tee -a "$LOG"
