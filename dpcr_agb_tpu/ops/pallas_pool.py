@@ -53,6 +53,18 @@ def _cdiv(a: int, b: int) -> int:
 # in-VMEM window helpers (operate on one [H, W, C] plane)
 # ---------------------------------------------------------------------------
 
+def _split2(p: jnp.ndarray, axis: int):
+    """Even/odd deinterleave along `axis` (size must be even) via a
+    split-reshape + unit slice. Mosaic lowers strided slices (`p[0::2]`)
+    to gather, which it only supports in 2D — reshapes that keep the lane
+    (minor) dim intact lower fine."""
+    sh = p.shape
+    q = p.reshape(sh[:axis] + (sh[axis] // 2, 2) + sh[axis + 1:])
+    ev = jax.lax.index_in_dim(q, 0, axis + 1, keepdims=False)
+    od = jax.lax.index_in_dim(q, 1, axis + 1, keepdims=False)
+    return ev, od
+
+
 def _pool_yz(p: jnp.ndarray, h1: int, w1: int) -> jnp.ndarray:
     """[H, W, C] -> [H1, W1, C] stride-2 SAME 3-window max over both dims.
     Window for output i is inputs {2i-1, 2i, 2i+1}; with ev/od the even/odd
@@ -61,12 +73,12 @@ def _pool_yz(p: jnp.ndarray, h1: int, w1: int) -> jnp.ndarray:
     neg = jnp.asarray(NEG, p.dtype)
     if 2 * h1 > h:                                  # odd H: pad one -inf row
         p = jnp.concatenate([p, jnp.full((1, w, c), neg, p.dtype)], 0)
-    ev, od = p[0::2], p[1::2]                       # [H1, W, C] each
+    ev, od = _split2(p, 0)                          # [H1, W, C] each
     od_up = jnp.concatenate([jnp.full((1, w, c), neg, p.dtype), od[:-1]], 0)
     my = jnp.maximum(jnp.maximum(ev, od), od_up)    # [H1, W, C]
     if 2 * w1 > w:                                  # odd W
         my = jnp.concatenate([my, jnp.full((h1, 1, c), neg, my.dtype)], 1)
-    evz, odz = my[:, 0::2], my[:, 1::2]
+    evz, odz = _split2(my, 1)
     odz_up = jnp.concatenate(
         [jnp.full((h1, 1, c), neg, my.dtype), odz[:, :-1]], 1)
     return jnp.maximum(jnp.maximum(evz, odz), odz_up)   # [H1, W1, C]
@@ -76,7 +88,11 @@ def _upsample2(a: jnp.ndarray, shift: int, axis: int, size: int,
                fill) -> jnp.ndarray:
     """out[i] = a[(i + shift) // 2] along `axis`, truncated/padded to
     `size`; source positions past the end of `a` get `fill`."""
-    rep = jnp.repeat(a, 2, axis=axis)               # rep[i] = a[i // 2]
+    sh = a.shape                                    # rep[i] = a[i // 2]
+    rep = jnp.broadcast_to(jnp.expand_dims(a, axis + 1),
+                           sh[:axis + 1] + (2,) + sh[axis + 1:]
+                           ).reshape(sh[:axis] + (2 * sh[axis],)
+                                     + sh[axis + 1:])
     n = rep.shape[axis]
     if shift:
         rep = jax.lax.slice_in_dim(rep, 1, n, axis=axis)
