@@ -12,9 +12,19 @@ Protocol: n-iteration scan chains with FULL-tensor feedback, perturbed
 fresh inputs per timed call, a value fetch (jnp.sum -> float) to force
 completion, and (n2-n1) differencing to cancel every fixed overhead
 (RPC, fetch, sum execution)."""
+import os
 import time
 import jax
 import jax.numpy as jnp
+
+# Every experiment importing this helper shares bench.py's persistent
+# compilation cache: fresh-process chain compiles through the axon tunnel
+# run minutes each, and re-sweeps repay them all without this.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _force(r):
