@@ -1,6 +1,6 @@
 #!/bin/bash
 # Probe the axon TPU tunnel until it answers, then run the queued round-2
-# measurement campaign (docs/experiments/round2/bench_sweep2.sh).
+# measurement campaign (docs/experiments/round2/bench_sweep3_followup.sh).
 # Run inside tmux; all output tees to docs/experiments/round2/watch.log.
 set -u
 cd "$(dirname "$0")/.."
@@ -16,7 +16,7 @@ print("TPU UP:", ds)
 EOF
   then
     echo "[watch] TPU up at $(date -u +%H:%M:%S); launching sweep" | tee -a "$LOG"
-    bash docs/experiments/round2/bench_sweep2.sh 2>&1 | tee -a "$LOG"
+    bash docs/experiments/round2/bench_sweep3_followup.sh 2>&1 | tee -a "$LOG"
     echo "[watch] sweep done $(date -u +%H:%M:%S)" | tee -a "$LOG"
     break
   fi
