@@ -46,13 +46,19 @@ print("bwd allclose(2%):",
       bool(jnp.allclose(g_ref.astype(jnp.float32), g_pl.astype(jnp.float32),
                         rtol=2e-2, atol=1e-3)))
 PYEOF
-  # P2: the deciding bench runs. Flip rule: if pallas bs16 beats the
-  # current default (66.0) by >2%, set DPCR_POOL_BWD default to "pallas"
-  # in ops/dense_grid.py and re-run plain bench.py to confirm.
-  for cfg in "DPCR_POOL_BWD=pallas" "DPCR_POOL_BWD=pallas DPCR_BENCH_BS=32"; do
-    echo "=== bench $cfg ===" | tee -a "$LOG"
-    timeout 3000 env $cfg python bench.py 2>&1 | tail -1 | tee -a "$LOG"
-  done
+  # P2: the deciding bench runs — gated on P1 on-device parity (a pallas
+  # bench number with failed parity must never enter the flip decision).
+  # Flip rule: if pallas bs16 beats the current default (66.0) by >2%,
+  # set DPCR_POOL_BWD default to "pallas" in ops/dense_grid.py and re-run
+  # plain bench.py to confirm.
+  if grep -q "fwd match: True" "$LOG" && grep -q "bwd allclose(2%): True" "$LOG"; then
+    for cfg in "DPCR_POOL_BWD=pallas" "DPCR_POOL_BWD=pallas DPCR_BENCH_BS=32"; do
+      echo "=== bench $cfg ===" | tee -a "$LOG"
+      timeout 3000 env $cfg python bench.py 2>&1 | tail -1 | tee -a "$LOG"
+    done
+  else
+    echo "[skip] pallas pool parity FAILED on device — benches skipped" | tee -a "$LOG"
+  fi
 else
   echo "[skip] Mosaic still not compiling — Pallas section skipped" | tee -a "$LOG"
 fi

@@ -170,6 +170,10 @@ def _bwd_kernel(xr, orr, ya, yb, cta, ctb, dx, *, d1):
 def _fwd_call(x, occ4, interpret=False):
     b, d, h, w, c = x.shape
     d1, h1, w1 = _cdiv(d, 2), _cdiv(h, 2), _cdiv(w, 2)
+    # occ planes ride as f32: Mosaic can only insert the broadcast minor dim
+    # ([..., None] in the kernel) on 32-bit types, and the occ volume is
+    # 1/C-th of x — the wider dtype is noise next to the x stream
+    occ4 = occ4.astype(jnp.float32)
 
     def xspec(m):
         return pl.BlockSpec((1, 1, h, w, c),
@@ -197,6 +201,7 @@ def _fwd_call(x, occ4, interpret=False):
 def _bwd_call(x, occ4, y, ct, interpret=False):
     b, d, h, w, c = x.shape
     d1, h1, w1 = y.shape[1], y.shape[2], y.shape[3]
+    occ4 = occ4.astype(jnp.float32)   # see _fwd_call
 
     def spec5(m, hh, ww):
         return pl.BlockSpec((1, 1, hh, ww, c),

@@ -19,12 +19,22 @@ import jax.numpy as jnp
 
 # Every experiment importing this helper shares bench.py's persistent
 # compilation cache: fresh-process chain compiles through the axon tunnel
-# run minutes each, and re-sweeps repay them all without this.
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-os.makedirs(_CACHE, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# run minutes each, and re-sweeps repay them all without this. Opt-out
+# (e.g. read-only checkout, or an importer managing its own cache config)
+# via DPCR_NO_BENCH_CACHE=1; failures to create the dir degrade to no
+# cache instead of breaking import.
+if not os.environ.get("DPCR_NO_BENCH_CACHE"):
+    _CACHE = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        os.makedirs(_CACHE, exist_ok=True)
+    except OSError:
+        pass
+    else:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", _CACHE)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _force(r):

@@ -68,16 +68,52 @@ def test_batch_local_ops_match_flat(batch_local):
         np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_))
 
 
+def _kpconv_mesh_case(bs=16, n=256):
+    """Tiny KPCNN + host-pyramid batch for mesh tests (same recipe as the
+    trainer's make_kpconv_post_collate, shapes shrunk)."""
+    from dpcr_agb_tpu.data.batch import Batch
+    from dpcr_agb_tpu.models.kpconv import KPCNN
+    from dpcr_agb_tpu.ops.host_pyramid import (kpconv_pyramid_host,
+                                               kpconv_pyramid_plan)
+
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(-0.5, 0.5, (bs, n, 3)).astype(np.float32)
+    mask = np.ones((bs, n), bool)
+    x = rng.standard_normal((bs, n, 3)).astype(np.float32)
+    plan = kpconv_pyramid_plan(0.05, 2.5, 2, n, (1.0, 0.5), [8, 8])
+    per = [kpconv_pyramid_host(pos[i], mask[i], plan) for i in range(bs)]
+    aux = {k: np.stack([p[k] for p in per]) for k in per[0]}
+    y = rng.normal(size=(bs, 2)).astype(np.float32) * 50 + 100
+    batch = Batch(pos=jnp.asarray(pos), x=jnp.asarray(x),
+                  mask=jnp.asarray(mask), y_reg=jnp.asarray(y),
+                  y_reg_mask=jnp.ones((bs, 2), bool),
+                  area_idx=jnp.zeros(bs, jnp.int32),
+                  label_idx=jnp.arange(bs, dtype=jnp.int64),
+                  is_double=jnp.zeros(bs, bool),
+                  aux={k: jnp.asarray(v) for k, v in aux.items()})
+    net = KPCNN(architecture=['simple', 'resnetb', 'resnetb_strided',
+                              'resnetb', 'global_sum'],
+                num_reg_targets=2, in_features_dim=3, first_features_dim=16,
+                num_kernel_points=15, first_subsampling_dl=0.05)
+    return net, batch
+
+
 @pytest.mark.slow
-def test_mesh_step_collectives_are_gradient_sized():
+@pytest.mark.parametrize("kind", ["senet14_sparse_l0", "senet14_dense_l0",
+                                  "kpconv"])
+def test_mesh_step_collectives_are_gradient_sized(kind, monkeypatch):
     """The compiled 8-device train step's collectives must all be
     parameter-gradient sized — a table-sized all-reduce/all-gather means
     GSPMD replicated a batch-flattened scatter/gather table (the round-2
-    bug this guards against: a [B*D*H*W, C] all-reduce per step)."""
+    bug this guards against: a [B*D*H*W, C] all-reduce per step).
+    Parametrized over all three flagship execution paths (VERDICT r2 #7):
+    the sparse-L0 SENet14 default, the dense-L0 fallback, and the KPConv
+    host-pyramid model."""
     import optax
 
     from __graft_entry__ import _example_batch, _flagship
     from dpcr_agb_tpu.models.base import InstanceSpec
+    from dpcr_agb_tpu.ops import dense_grid
     from dpcr_agb_tpu.parallel.mesh import make_mesh, shard_batch
     from dpcr_agb_tpu.training.optim import (
         adabelief, cosine_annealing_warm_restarts)
@@ -86,7 +122,16 @@ def test_mesh_step_collectives_are_gradient_sized():
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device virtual platform")
     mesh = make_mesh(8)
-    net = _flagship(dense_dims=(16, 16, 16))
+    if kind == "kpconv":
+        net, batch = _kpconv_mesh_case()
+        batch = shard_batch(mesh, batch)
+    else:
+        monkeypatch.setattr(
+            dense_grid, "L0_MODE",
+            "sparse" if kind == "senet14_sparse_l0" else "dense")
+        net = _flagship(dense_dims=(16, 16, 16))
+        batch = shard_batch(mesh,
+                            _example_batch(bs=16, n_voxels=512, grid=16))
     spec = InstanceSpec(
         num_reg_targets=2, scale=np.array([50.0, 80.0], np.float32),
         center=np.array([100.0, 150.0], np.float32),
@@ -95,7 +140,6 @@ def test_mesh_step_collectives_are_gradient_sized():
                      adabelief(cosine_annealing_warm_restarts(5e-3, 10, 2),
                                weight_decay=1e-2))
     runner = StepRunner(net=net, spec=spec, tx=tx, mesh=mesh, seed=0)
-    batch = shard_batch(mesh, _example_batch(bs=16, n_voxels=512, grid=16))
     state = runner.init_state(batch)
     hlo = runner._train_step.lower(
         state.params, state.batch_stats, state.opt_state, batch,
