@@ -129,17 +129,26 @@ def _fwd_kernel(xa, xb, xc, oa, ob, oc, out, *, d):
 def _bwd_kernel(xr, orr, ya, yb, cta, ctb, dx, *, d1):
     """dx plane x0 via equality routing against the saved output planes.
     ct is pre-masked to occupied outputs, so comparing against the SAVED
-    y (zero at unoccupied sites) never routes garbage."""
+    y (zero at unoccupied sites) never routes garbage.
+
+    All in-register math is f32: Mosaic cannot lower the sublane-axis
+    interleave (`tpu.repeat` along dim -2) for bf16 vectors — probed
+    on-device 2026-08-19; the f32 path compiles on both axes. Loads stay
+    bf16 (DMA traffic unchanged) and bf16->f32 is exact, so the equality
+    routing is bit-identical."""
     x0 = pl.program_id(1)
     h, w, c = xr.shape[2], xr.shape[3], xr.shape[4]
     h1, w1 = ya.shape[2], ya.shape[3]
-    neg = jnp.asarray(NEG, xr.dtype)
-    filled = jnp.where(orr[0, 0][..., None] > 0, xr[0, 0], neg)
+    neg = jnp.asarray(NEG, jnp.float32)
+    filled = jnp.where(orr[0, 0][..., None] > 0,
+                       xr[0, 0].astype(jnp.float32), neg)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, 1, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
 
     def one_xterm(yp, ctp, enable):
+        yp = yp.astype(jnp.float32)
+        ctp = ctp.astype(jnp.float32)
         acc = jnp.zeros((h, w, c), jnp.float32)
         for ty in (0, 1):
             vy = ((rows % 2) == 1) if ty else (rows >= 0)
@@ -152,7 +161,7 @@ def _bwd_kernel(xr, orr, ya, yb, cta, ctb, dx, *, d1):
                 ct_up = _upsample2(_upsample2(ctp, ty, 0, h, 0.0),
                                    tz, 1, w, 0.0)
                 sel = (filled == y_up) & vy & vz & enable
-                acc = acc + jnp.where(sel, ct_up.astype(jnp.float32), 0.0)
+                acc = acc + jnp.where(sel, ct_up, 0.0)
         return acc
 
     # term a: x1 = x0//2 always covers x0 (odd x0: 2*(x0//2)+1 == x0).

@@ -75,6 +75,58 @@ def test_pallas_pool_bf16_and_empty_sample():
     assert not np.isnan(np.asarray(got, np.float32)).any()
 
 
+def _tie_free_bf16_case(shape, occ_p, seed):
+    """bf16 values distinct within every 3^3 window and bf16-exact:
+    v = (d%3)*9 + (h%3)*3 + (w%3) + 1 in [1, 27] — two cells in one
+    window differ by 1..2 (non-multiple of 3) in some axis, so their
+    mod-3 tuples differ. Integers <= 27 are exact in bf16, so bf16
+    rounding cannot create ties (unlike random floats)."""
+    b, d, h, w, c = shape
+    rng = np.random.default_rng(seed)
+    dd, hh, ww = np.meshgrid(np.arange(d), np.arange(h), np.arange(w),
+                             indexing="ij")
+    v = ((dd % 3) * 9 + (hh % 3) * 3 + (ww % 3) + 1).astype(np.float32)
+    x = np.broadcast_to(v[None, ..., None], shape).copy()
+    occ = (rng.random((b, d, h, w, 1)) < occ_p).astype(np.float32)
+    x = x * occ
+    xs = jnp.asarray(x, jnp.bfloat16)
+    occ = jnp.asarray(occ, jnp.bfloat16)
+    return xs, occ, occupancy_pool(occ)
+
+
+@pytest.mark.parametrize("shape,occ_p", [
+    ((2, 8, 8, 8, 8), 0.15),
+    ((1, 7, 10, 6, 8), 0.4),
+])
+def test_pallas_pool_bf16_gradient_parity_tie_free(shape, occ_p):
+    """bf16 gradient routing parity, tie-free by construction. Exact
+    bit parity with select_and_scatter is impossible in bf16: cells
+    covered by several output windows accumulate cotangents, which the
+    Pallas backward sums in f32 and rounds ONCE while XLA accumulates in
+    bf16 — a 1-2 ulp (<=1%) difference in the Pallas kernel's favor;
+    partially-cancelling multi-window contributions make the RELATIVE
+    error unbounded while the absolute error stays at the bf16 ulp of
+    the N(0,1) cotangent scale, hence the absolute tolerance. Verified
+    on real TPU 2026-08-19 (device parity run: fwd bit-exact, bwd
+    within these tolerances at these exact shapes)."""
+    x, occ, occ_l = _tie_free_bf16_case(shape, occ_p, seed=0)
+    ct_w = jnp.asarray(
+        np.random.default_rng(2).normal(
+            size=occ_l.shape[:-1] + (x.shape[-1],)).astype(np.float32))
+
+    def loss(pool, xi):
+        return jnp.sum(pool(xi).astype(jnp.float32) * ct_w)
+
+    g_ref = jax.grad(
+        lambda xi: loss(lambda z: dense_max_pool(z, occ, occ_l), xi))(x)
+    g_pl = jax.grad(
+        lambda xi: loss(lambda z: pallas_max_pool(z, occ, occ_l, True),
+                        xi))(x)
+    np.testing.assert_allclose(np.asarray(g_pl, np.float32),
+                               np.asarray(g_ref, np.float32),
+                               rtol=2e-2, atol=1e-2)
+
+
 def test_pallas_pool_matches_model_shape_slice():
     """A thin slice of the bench shape (D=88 planes would be slow in
     interpret mode): checks the index maps at real H/W extents."""
