@@ -287,7 +287,7 @@ class TestWholeModelParity:
                      is_double=jnp.zeros(bs, bool),
                      coords=jnp.asarray(coords))
 
-    def test_sparse_l0_matches_dense_l0(self, monkeypatch):
+    def _net_and_variables(self):
         from dpcr_agb_tpu.models.minkowski import build_resnet
         from dpcr_agb_tpu.ops import dense_grid
 
@@ -297,25 +297,43 @@ class TestWholeModelParity:
             "activation": "gelu", "first_stride": 1, "global_pool": "sum",
             "drop_path": 0.0,
             "extra_options": {"dense_dims": [16, 16, 16]}}, _DS(), None)
-        rng = np.random.default_rng(7)
-        b = self._batch(rng)
+        b = self._batch(np.random.default_rng(7))
+        prev = dense_grid.L0_MODE
+        dense_grid.L0_MODE = "dense"
+        try:
+            variables = net.init(jax.random.PRNGKey(0), b, train=False)
+        finally:
+            dense_grid.L0_MODE = prev
+        return net, variables, b
 
+    def test_sparse_l0_matches_dense_l0_forward(self, monkeypatch):
+        from dpcr_agb_tpu.ops import dense_grid
+        net, variables, b = self._net_and_variables()
         monkeypatch.setattr(dense_grid, "L0_MODE", "dense")
-        variables = net.init(jax.random.PRNGKey(0), b, train=False)
         out_dense = net.apply(variables, b, train=False)
+        monkeypatch.setattr(dense_grid, "L0_MODE", "sparse")
+        out_sparse = net.apply(variables, b, train=False)
+        np.testing.assert_allclose(np.asarray(out_sparse),
+                                   np.asarray(out_dense),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.slow
+    def test_sparse_l0_matches_dense_l0_gradients(self, monkeypatch):
+        """Whole-model gradient parity — two full backward compiles, so
+        `slow`; the forward half (above) plus the per-op stem/pool grad
+        tests stay in the fast gate."""
+        from dpcr_agb_tpu.ops import dense_grid
+        net, variables, b = self._net_and_variables()
 
         def loss_d(p):
             return jnp.sum(net.apply(
                 {**variables, "params": p}, b, train=False) ** 2)
-        g_dense = jax.grad(loss_d)(variables["params"])
 
+        monkeypatch.setattr(dense_grid, "L0_MODE", "dense")
+        g_dense = jax.grad(loss_d)(variables["params"])
         monkeypatch.setattr(dense_grid, "L0_MODE", "sparse")
-        out_sparse = net.apply(variables, b, train=False)
         g_sparse = jax.grad(loss_d)(variables["params"])
 
-        np.testing.assert_allclose(np.asarray(out_sparse),
-                                   np.asarray(out_dense),
-                                   rtol=1e-4, atol=1e-4)
         def _cmp(path, gd, gs):
             np.testing.assert_allclose(
                 np.asarray(gs), np.asarray(gd), rtol=5e-3, atol=1e-4,
