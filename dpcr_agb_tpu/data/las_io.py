@@ -4,11 +4,12 @@ read_pt, datasets/instance/las_dataset.py:32-71).
 Supports LAS 1.1-1.4, point data record formats 0-10 (core fields: XYZ,
 intensity, classification, return info, gps_time where present).
 
-LAZ: point formats 0-3 (+extra bytes) decompress through the native LASzip
-codec (native/laszip.cpp — compressor 2 pointwise-chunked, v2 items), the
-formats the reference reads via laspy+lazrs (las_dataset.py:36-41). A LAZ
-writer is provided for fixtures/export. Formats 6-10 LAZ (v3 layered items)
-raise a clear error; decompress those to .las externally.
+LAZ: point formats 0-3 (compressor 2 pointwise-chunked, v2 items) and the
+LAS 1.4 formats 6-8 (compressor 3 layered, v3 items POINT14/RGB14/RGBNIR14/
+BYTE14) decompress through the native LASzip codec (native/laszip.cpp), the
+formats the reference reads via laspy+lazrs (las_dataset.py:36-41). LAZ
+writers are provided for fixtures/export (legacy format 1 and LAS 1.4
+format 6). Formats 9/10 (wavepackets) raise a clear error.
 
 CSV/TXT point files are read via pandas, mirroring the reference fallback.
 """
@@ -144,15 +145,24 @@ def _laz_decode(path: str, blob: bytes, vlr: dict, n_points: int,
                 record_len: int, point_data_offset: int = 0) -> np.ndarray:
     from .. import native
 
-    if vlr["compressor"] != 2:
+    if vlr["compressor"] == 2:       # pointwise chunked, v2 items (fmt 0-3)
+        for t, s, v in vlr["items"]:
+            if t not in (0, 6, 7, 8) or v != 2:
+                raise LasReadError(
+                    f"{path}: LAZ item (type={t}, version={v}) unsupported")
+    elif vlr["compressor"] == 3:     # layered chunked, v3 items (fmt 6-8)
+        for t, s, v in vlr["items"]:
+            if t == 13:
+                raise LasReadError(
+                    f"{path}: LAZ wavepacket items (formats 9/10) "
+                    "unsupported; decompress to .las externally")
+            if t not in (10, 11, 12, 14) or v not in (3, 4):
+                raise LasReadError(
+                    f"{path}: LAZ item (type={t}, version={v}) unsupported")
+    else:
         raise LasReadError(
             f"{path}: LAZ compressor type {vlr['compressor']} unsupported "
-            "(only 2 = pointwise-chunked / point formats 0-3; decompress "
-            "layered formats 6-10 to .las externally)")
-    for t, s, v in vlr["items"]:
-        if t not in (0, 6, 7, 8) or v != 2:
-            raise LasReadError(
-                f"{path}: LAZ item (type={t}, version={v}) unsupported")
+            "(2 = pointwise-chunked formats 0-3, 3 = layered formats 6-8)")
     types = [t for t, s, v in vlr["items"]]
     sizes = [s for t, s, v in vlr["items"]]
     if sum(sizes) != record_len:
@@ -229,6 +239,81 @@ def write_laz(path: str, pos: np.ndarray,
 
     blob = bytearray(native.laz_compress(rec, [6, 7], [20, 8], chunk_size))
     # patch the chunk-table offset from blob-relative to absolute file offset
+    rel = struct.unpack_from("<q", blob, 0)[0]
+    struct.pack_into("<q", blob, 0, rel + offset_to_points)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(bytes(vlr))
+        f.write(bytes(vlr_payload))
+        f.write(bytes(blob))
+
+
+def write_laz14(path: str, pos: np.ndarray,
+                classification: Optional[np.ndarray] = None,
+                intensity: Optional[np.ndarray] = None,
+                gps_time: Optional[np.ndarray] = None,
+                scanner_channel: Optional[np.ndarray] = None,
+                scale: float = 0.001, chunk_size: int = 50000) -> None:
+    """Write a LAZ-compressed LAS 1.4 point-format-6 file (compressor 3,
+    layered POINT14 v3 item) through the native codec — the modern national-
+    ALS-campaign format the reference ingests via laspy+lazrs."""
+    from .. import native
+
+    pos = np.asarray(pos, dtype=np.float64)
+    n = len(pos)
+    offsets = pos.min(axis=0) if n else np.zeros(3)
+    record_len = 30
+    header_size = 375
+    vlr_payload = bytearray(34 + 6)
+    struct.pack_into("<HH", vlr_payload, 0, 3, 0)        # compressor 3
+    struct.pack_into("<BBH", vlr_payload, 4, 3, 4, 0)    # version 3.4.0
+    struct.pack_into("<L", vlr_payload, 8, 0)            # options
+    struct.pack_into("<L", vlr_payload, 12, chunk_size)
+    struct.pack_into("<qq", vlr_payload, 16, -1, -1)     # no special EVLRs
+    struct.pack_into("<H", vlr_payload, 32, 1)           # num items
+    struct.pack_into("<HHH", vlr_payload, 34, 10, 30, 3)  # POINT14 v3
+    vlr = bytearray(54)
+    vlr[2:18] = _LASZIP_USER_ID
+    struct.pack_into("<H", vlr, 18, _LASZIP_RECORD_ID)
+    struct.pack_into("<H", vlr, 20, len(vlr_payload))
+    struct.pack_into("<32s", vlr, 22, b"dpcr_agb_tpu laszip mini")
+
+    offset_to_points = header_size + len(vlr) + len(vlr_payload)
+    header = bytearray(header_size)
+    header[0:4] = b"LASF"
+    header[24] = 1
+    header[25] = 4
+    struct.pack_into("<31s", header, 26, b"dpcr_agb_tpu synthetic")
+    struct.pack_into("<H", header, 94, header_size)
+    struct.pack_into("<L", header, 96, offset_to_points)
+    struct.pack_into("<L", header, 100, 1)               # one VLR (laszip)
+    header[104] = 6 | 0x80                               # format 6, compressed
+    struct.pack_into("<H", header, 105, record_len)
+    struct.pack_into("<L", header, 107, 0)               # legacy count: 0
+    struct.pack_into("<3d", header, 131, scale, scale, scale)
+    struct.pack_into("<3d", header, 155, *offsets)
+    mx, mn = (pos.max(axis=0), pos.min(axis=0)) if n else (np.zeros(3),) * 2
+    struct.pack_into("<6d", header, 179, mx[0], mn[0], mx[1], mn[1],
+                     mx[2], mn[2])
+    struct.pack_into("<Q", header, 247, n)               # LAS 1.4 u64 count
+
+    rec = np.zeros((n, record_len), dtype=np.uint8)
+    xyz_int = np.round((pos - offsets) / scale).astype("<i4")
+    rec[:, :12] = xyz_int.view(np.uint8).reshape(n, 12)
+    if intensity is not None:
+        rec[:, 12:14] = np.asarray(intensity, dtype="<u2")[:, None].view(
+            np.uint8).reshape(n, 2)
+    rec[:, 14] = 0x11  # return 1 of 1 (4-bit fields)
+    chan = (np.zeros(n, np.uint8) if scanner_channel is None
+            else np.asarray(scanner_channel, np.uint8) & 3)
+    rec[:, 15] = chan << 4
+    if classification is not None:
+        rec[:, 16] = np.asarray(classification, dtype=np.uint8)
+    if gps_time is not None:
+        rec[:, 22:30] = np.asarray(gps_time, dtype="<f8")[:, None].view(
+            np.uint8).reshape(n, 8)
+
+    blob = bytearray(native.laz_compress(rec, [10], [30], chunk_size))
     rel = struct.unpack_from("<q", blob, 0)[0]
     struct.pack_into("<q", blob, 0, rel + offset_to_points)
     with open(path, "wb") as f:

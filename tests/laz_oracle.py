@@ -1001,3 +1001,588 @@ def write_laz(path: str, pos, classification=None, intensity=None,
         f.write(vlr)
         f.write(vlr_payload)
         f.write(bytes(blob))
+
+
+# ===========================================================================
+# LASzip v3 layered oracle (compressor 3, LAS 1.4 point formats 6-8):
+# POINT14 / RGB14 / RGBNIR14 / BYTE14. Mirrors the published v3 algorithm
+# independently of native/laszip.cpp (shared NO code); the chunk framing and
+# the reconstructed 16x16 context maps follow the same documented derivation
+# as the C++ (see native/laszip.cpp "LASzip v3" header for the conformance
+# caveats — this oracle exists to catch coding slips, not table drift).
+#
+# Chunk framing: [U32 count][layer sizes U32 x n_layers(item), item-major]
+#                [raw first records, item-major][layer payloads, item-major]
+# ===========================================================================
+
+ITEM_POINT14, ITEM_RGB14, ITEM_RGBNIR14, ITEM_BYTE14 = 10, 11, 12, 14
+
+_FOLD6 = [0, 1, 2, 3, 4, 5, 3, 4, 4, 5, 5, 5, 5, 5, 5, 5]
+MAP6 = [[_FOLD6[RET_MAP[min(n, 7)][min(r, 7)]] for r in range(16)]
+        for n in range(16)]
+LVL8 = [[min(abs(n - r), 7) for r in range(16)] for n in range(16)]
+
+_P14_FMT = "<iiiHBBBBhHd"  # x y z inten returns flags cls ud scan_angle psid gps
+
+
+def _p14_parse(rec: bytes) -> dict:
+    x, y, z, inten, ret, flags, cls, ud, sa, psid, gps = struct.unpack(
+        _P14_FMT, rec)
+    return dict(x=x, y=y, z=z, inten=inten, ret=ret, flags=flags, cls=cls,
+                ud=ud, sa=sa, psid=psid, gps=gps)
+
+
+def _p14_pack(p: dict) -> bytes:
+    return struct.pack(_P14_FMT, p["x"], p["y"], p["z"], p["inten"],
+                       p["ret"], p["flags"], p["cls"], p["ud"], p["sa"],
+                       p["psid"], p["gps"])
+
+
+def _gps_bits(g: float) -> int:
+    return struct.unpack("<q", struct.pack("<d", g))[0]
+
+
+class Point14:
+    """v3 POINT14, both directions over 9 layer coders (dict keys: cxy, z,
+    cls, flags, int, sa, ud, ps, gps)."""
+
+    LAYERS = ("cxy", "z", "cls", "flags", "int", "sa", "ud", "ps", "gps")
+
+    def __init__(self, coders: dict, first: bytes, decode: bool):
+        self.c = coders
+        self.decode = decode
+        self.ctx = [None] * 4
+        p = _p14_parse(first)
+        self.cc = (p["flags"] >> 4) & 3
+        self.ctx[self.cc] = self._new_ctx(p, False)
+
+    def _new_ctx(self, p: dict, gps_change: bool) -> dict:
+        d = self.decode
+        gps_seed = struct.pack("<d", p["gps"])
+        return dict(
+            last=dict(p), lgc=gps_change,
+            li=[p["inten"]] * 8,
+            mx=[_median5() for _ in range(12)],
+            my=[_median5() for _ in range(12)],
+            lz=[p["z"]] * 8,
+            m_changed=[Model(128, d) for _ in range(8)],
+            m_sc=Model(3, d),
+            m_nr=[Model(16, d) for _ in range(16)],
+            m_rn=[Model(16, d) for _ in range(16)],
+            m_rn_same=Model(13, d),
+            ic_dx=IntCoder(self.c["cxy"], 2, d),
+            ic_dy=IntCoder(self.c["cxy"], 22, d),
+            ic_z=IntCoder(self.c["z"], 20, d),
+            m_cls=[Model(256, d) for _ in range(64)],
+            m_flags=[Model(64, d) for _ in range(64)],
+            m_ud=[Model(256, d) for _ in range(64)],
+            ic_int=IntCoder(self.c["int"], 4, d),
+            ic_sa=IntCoder(self.c["sa"], 2, d),
+            ic_ps=IntCoder(self.c["ps"], 1, d),
+            gps=GpsTime(self.c["gps"], gps_seed, d),
+        )
+
+    @staticmethod
+    def _flags6(flags: int) -> int:
+        return (((flags >> 7) & 1) << 5) | (((flags >> 6) & 1) << 4) \
+            | (flags & 0xF)
+
+    def write(self, rec: bytes):
+        cur = _p14_parse(rec)
+        c = self.ctx[self.cc]
+        lr, ln = c["last"]["ret"] & 0xF, c["last"]["ret"] >> 4
+        lpr = (1 if lr == 1 else 0) + (2 if lr >= ln else 0) \
+            + (4 if c["lgc"] else 0)
+
+        sc = (cur["flags"] >> 4) & 3
+        ref = (self.ctx[sc]["last"]
+               if sc != self.cc and self.ctx[sc] is not None
+               else c["last"])
+        changed = 0
+        if sc != self.cc:
+            changed |= 1 << 6
+        if cur["psid"] != ref["psid"]:
+            changed |= 1 << 5
+        if _gps_bits(cur["gps"]) != _gps_bits(ref["gps"]):
+            changed |= 1 << 4
+        if cur["sa"] != ref["sa"]:
+            changed |= 1 << 3
+        rn, nr = cur["ret"] & 0xF, cur["ret"] >> 4
+        rlr, rln = ref["ret"] & 0xF, ref["ret"] >> 4
+        if nr != rln:
+            changed |= 1 << 2
+        if rn == rlr:
+            rdiff = 0
+        elif rn == ((rlr + 1) & 15):
+            rdiff = 1
+        elif rn == ((rlr + 15) & 15):
+            rdiff = 2
+        else:
+            rdiff = 3
+        changed |= rdiff
+        self.c["cxy"].sym(c["m_changed"][lpr], changed)
+
+        if sc != self.cc:
+            self.c["cxy"].sym(c["m_sc"], (sc - self.cc - 1) & 3)
+            if self.ctx[sc] is None:
+                self.ctx[sc] = self._new_ctx(c["last"], c["lgc"])
+            self.cc = sc
+            c = self.ctx[self.cc]
+            c["last"]["flags"] = (c["last"]["flags"] & 0xCF) | (sc << 4)
+        gps_change = bool(changed & (1 << 4))
+
+        if changed & (1 << 2):
+            self.c["cxy"].sym(c["m_nr"][rln], nr)
+        if rdiff == 3:
+            if gps_change:
+                self.c["cxy"].sym(c["m_rn"][rlr], rn)
+            else:
+                self.c["cxy"].sym(c["m_rn_same"], (rn - rlr - 2) & 15)
+        c["last"]["ret"] = cur["ret"]
+
+        m, l = MAP6[nr][rn], LVL8[nr][rn]
+        cpr = (2 if rn == 1 else 0) + (1 if rn >= nr else 0)
+        g = 1 if gps_change else 0
+
+        med = c["mx"][(m << 1) | g]["v"][2]
+        diff = _i32(cur["x"] - c["last"]["x"])
+        c["ic_dx"].compress(med, diff, 1 if nr == 1 else 0)
+        _median5_add(c["mx"][(m << 1) | g], diff)
+        c["last"]["x"] = cur["x"]
+
+        med = c["my"][(m << 1) | g]["v"][2]
+        kb = c["ic_dx"].k
+        diff = _i32(cur["y"] - c["last"]["y"])
+        c["ic_dy"].compress(med, diff,
+                            (1 if nr == 1 else 0)
+                            + ((kb & ~1) if kb < 20 else 20))
+        _median5_add(c["my"][(m << 1) | g], diff)
+        c["last"]["y"] = cur["y"]
+
+        kb = (c["ic_dx"].k + c["ic_dy"].k) // 2
+        c["ic_z"].compress(c["lz"][l], cur["z"],
+                           (1 if nr == 1 else 0)
+                           + ((kb & ~1) if kb < 18 else 18))
+        c["lz"][l] = cur["z"]
+        c["last"]["z"] = cur["z"]
+
+        ccc = ((c["last"]["cls"] & 0x1F) << 1) | (1 if cpr == 3 else 0)
+        self.c["cls"].sym(c["m_cls"][ccc], cur["cls"])
+        c["last"]["cls"] = cur["cls"]
+
+        lf = self._flags6(c["last"]["flags"])
+        self.c["flags"].sym(c["m_flags"][lf], self._flags6(cur["flags"]))
+        c["last"]["flags"] = cur["flags"]
+
+        c["ic_int"].compress(c["li"][(cpr << 1) | g], cur["inten"], cpr)
+        c["li"][(cpr << 1) | g] = cur["inten"]
+        c["last"]["inten"] = cur["inten"]
+
+        if changed & (1 << 3):
+            c["ic_sa"].compress(c["last"]["sa"], cur["sa"], g)
+            c["last"]["sa"] = cur["sa"]
+
+        self.c["ud"].sym(c["m_ud"][c["last"]["ud"] // 4], cur["ud"])
+        c["last"]["ud"] = cur["ud"]
+
+        if changed & (1 << 5):
+            c["ic_ps"].compress(c["last"]["psid"], cur["psid"], 0)
+            c["last"]["psid"] = cur["psid"]
+
+        if gps_change:
+            c["gps"].write(struct.pack("<d", cur["gps"]))
+            c["last"]["gps"] = cur["gps"]
+        c["lgc"] = gps_change
+
+    def read(self) -> bytes:
+        c = self.ctx[self.cc]
+        lr, ln = c["last"]["ret"] & 0xF, c["last"]["ret"] >> 4
+        lpr = (1 if lr == 1 else 0) + (2 if lr >= ln else 0) \
+            + (4 if c["lgc"] else 0)
+        changed = self.c["cxy"].sym(c["m_changed"][lpr])
+
+        if changed & (1 << 6):
+            diff = self.c["cxy"].sym(c["m_sc"])
+            sc = (self.cc + diff + 1) & 3
+            if self.ctx[sc] is None:
+                self.ctx[sc] = self._new_ctx(c["last"], c["lgc"])
+            self.cc = sc
+            c = self.ctx[self.cc]
+            c["last"]["flags"] = (c["last"]["flags"] & 0xCF) | (sc << 4)
+            lr, ln = c["last"]["ret"] & 0xF, c["last"]["ret"] >> 4
+
+        ps_change = bool(changed & (1 << 5))
+        gps_change = bool(changed & (1 << 4))
+        sa_change = bool(changed & (1 << 3))
+
+        n = self.c["cxy"].sym(c["m_nr"][ln]) if changed & (1 << 2) else ln
+        rd = changed & 3
+        if rd == 0:
+            r = lr
+        elif rd == 1:
+            r = (lr + 1) & 15
+        elif rd == 2:
+            r = (lr + 15) & 15
+        elif gps_change:
+            r = self.c["cxy"].sym(c["m_rn"][lr])
+        else:
+            r = (lr + self.c["cxy"].sym(c["m_rn_same"]) + 2) & 15
+        c["last"]["ret"] = r | (n << 4)
+
+        m, l = MAP6[n][r], LVL8[n][r]
+        cpr = (2 if r == 1 else 0) + (1 if r >= n else 0)
+        g = 1 if gps_change else 0
+
+        med = c["mx"][(m << 1) | g]["v"][2]
+        diff = c["ic_dx"].decompress(med, 1 if n == 1 else 0)
+        c["last"]["x"] = _i32(c["last"]["x"] + diff)
+        _median5_add(c["mx"][(m << 1) | g], diff)
+
+        med = c["my"][(m << 1) | g]["v"][2]
+        kb = c["ic_dx"].k
+        diff = c["ic_dy"].decompress(
+            med, (1 if n == 1 else 0) + ((kb & ~1) if kb < 20 else 20))
+        c["last"]["y"] = _i32(c["last"]["y"] + diff)
+        _median5_add(c["my"][(m << 1) | g], diff)
+
+        kb = (c["ic_dx"].k + c["ic_dy"].k) // 2
+        c["last"]["z"] = c["ic_z"].decompress(
+            c["lz"][l], (1 if n == 1 else 0) + ((kb & ~1) if kb < 18 else 18))
+        c["lz"][l] = c["last"]["z"]
+
+        ccc = ((c["last"]["cls"] & 0x1F) << 1) | (1 if cpr == 3 else 0)
+        c["last"]["cls"] = self.c["cls"].sym(c["m_cls"][ccc])
+
+        lf = self._flags6(c["last"]["flags"])
+        f = self.c["flags"].sym(c["m_flags"][lf])
+        c["last"]["flags"] = ((((f >> 5) & 1) << 7) | (((f >> 4) & 1) << 6)
+                              | (self.cc << 4) | (f & 0xF))
+
+        inten = c["ic_int"].decompress(c["li"][(cpr << 1) | g], cpr) & 0xFFFF
+        c["li"][(cpr << 1) | g] = inten
+        c["last"]["inten"] = inten
+
+        if sa_change:
+            sa = c["ic_sa"].decompress(c["last"]["sa"], g)
+            c["last"]["sa"] = ((sa + 0x8000) & 0xFFFF) - 0x8000
+
+        c["last"]["ud"] = self.c["ud"].sym(c["m_ud"][c["last"]["ud"] // 4])
+
+        if ps_change:
+            c["last"]["psid"] = c["ic_ps"].decompress(
+                c["last"]["psid"], 0) & 0xFFFF
+
+        if gps_change:
+            raw = c["gps"].read()
+            c["last"]["gps"] = struct.unpack("<d", raw)[0]
+        c["lgc"] = gps_change
+        return _p14_pack(c["last"])
+
+
+class Rgb14:
+    """v3 RGB: the Rgb12 predictor with 4 scanner-channel contexts."""
+
+    def __init__(self, coder, first: bytes, decode: bool, context: int):
+        self.coder = coder
+        self.decode = decode
+        self.ctx = [None] * 4
+        self.cc = context
+        self.ctx[self.cc] = Rgb12(coder, first, decode)
+
+    def _switch(self, context: int):
+        if self.cc != context:
+            prev = self.ctx[self.cc].last
+            self.cc = context
+            if self.ctx[self.cc] is None:
+                self.ctx[self.cc] = Rgb12(
+                    self.coder, struct.pack("<HHH", *prev), self.decode)
+
+    def write(self, rec: bytes, context: int):
+        self._switch(context)
+        self.ctx[self.cc].write(rec)
+
+    def read(self, context: int) -> bytes:
+        self._switch(context)
+        return self.ctx[self.cc].read()
+
+
+class Nir14:
+    def __init__(self, coder, first: int, decode: bool, context: int):
+        self.coder = coder
+        self.decode = decode
+        self.ctx = [None] * 4
+        self.cc = context
+        self.ctx[self.cc] = self._new(first)
+
+    def _new(self, nir: int) -> dict:
+        return dict(last=nir, used=Model(4, self.decode),
+                    d0=Model(256, self.decode), d1=Model(256, self.decode))
+
+    def _switch(self, context: int):
+        if self.cc != context:
+            prev = self.ctx[self.cc]["last"]
+            self.cc = context
+            if self.ctx[self.cc] is None:
+                self.ctx[self.cc] = self._new(prev)
+
+    def write(self, nir: int, context: int):
+        self._switch(context)
+        c = self.ctx[self.cc]
+        sym = int((c["last"] & 0xFF) != (nir & 0xFF)) \
+            | (int((c["last"] >> 8) != (nir >> 8)) << 1)
+        self.coder.sym(c["used"], sym)
+        if sym & 1:
+            self.coder.sym(c["d0"], ((nir & 0xFF) - (c["last"] & 0xFF)) & 0xFF)
+        if sym & 2:
+            self.coder.sym(c["d1"], ((nir >> 8) - (c["last"] >> 8)) & 0xFF)
+        c["last"] = nir
+
+    def read(self, context: int) -> int:
+        self._switch(context)
+        c = self.ctx[self.cc]
+        sym = self.coder.sym(c["used"])
+        lo = ((self.coder.sym(c["d0"]) + (c["last"] & 0xFF)) & 0xFF) \
+            if sym & 1 else (c["last"] & 0xFF)
+        hi = ((self.coder.sym(c["d1"]) + (c["last"] >> 8)) & 0xFF) \
+            if sym & 2 else (c["last"] >> 8)
+        c["last"] = (hi << 8) | lo
+        return c["last"]
+
+
+class Byte14:
+    """v3 extra bytes: one layer coder per byte, 4 contexts."""
+
+    def __init__(self, coders: List, first: bytes, decode: bool,
+                 context: int):
+        self.coders = coders
+        self.decode = decode
+        self.n = len(first)
+        self.ctx = [None] * 4
+        self.cc = context
+        self.ctx[self.cc] = self._new(first)
+
+    def _new(self, b: bytes) -> dict:
+        return dict(last=list(b),
+                    m=[Model(256, self.decode) for _ in range(self.n)])
+
+    def _switch(self, context: int):
+        if self.cc != context:
+            prev = bytes(self.ctx[self.cc]["last"])
+            self.cc = context
+            if self.ctx[self.cc] is None:
+                self.ctx[self.cc] = self._new(prev)
+
+    def write(self, rec: bytes, context: int):
+        self._switch(context)
+        c = self.ctx[self.cc]
+        for i, b in enumerate(rec):
+            self.coders[i].sym(c["m"][i], (b - c["last"][i]) & 0xFF)
+        c["last"] = list(rec)
+
+    def read(self, context: int) -> bytes:
+        self._switch(context)
+        c = self.ctx[self.cc]
+        out = bytes((self.coders[i].sym(c["m"][i]) + c["last"][i]) & 0xFF
+                    for i in range(self.n))
+        c["last"] = list(out)
+        return out
+
+
+def _v3_layer_count(t: int, size: int) -> int:
+    return {ITEM_POINT14: 9, ITEM_RGB14: 1, ITEM_RGBNIR14: 2,
+            ITEM_BYTE14: size}[t]
+
+
+def encode_blob_layered(records: Sequence[bytes], types: Sequence[int],
+                        sizes: Sequence[int], chunk_size: int) -> bytes:
+    """Records -> layered (compressor 3) LAZ point blob; same i64 chunk-table
+    offset + chunk-table trailer as encode_blob."""
+    assert types[0] == ITEM_POINT14
+    chunks = [records[i:i + chunk_size]
+              for i in range(0, len(records), chunk_size)] or [[]]
+    payloads = []
+    for chunk in chunks:
+        pieces0 = _split_schema(chunk[0], sizes)
+        # per-item layer encoders + codecs
+        encs: List[Enc] = []
+        codecs = []
+        pt = None
+        for t, piece in zip(types, pieces0):
+            if t == ITEM_POINT14:
+                lc = {k: Enc() for k in Point14.LAYERS}
+                encs.extend(lc[k] for k in Point14.LAYERS)
+                pt = Point14(lc, piece, decode=False)
+                codecs.append(("pt", pt))
+            elif t == ITEM_RGB14:
+                e = Enc()
+                encs.append(e)
+                codecs.append(("rgb", Rgb14(e, piece, False, pt.cc)))
+            elif t == ITEM_RGBNIR14:
+                e1, e2 = Enc(), Enc()
+                encs.extend([e1, e2])
+                nir0 = struct.unpack("<H", piece[6:8])[0]
+                codecs.append(("rgbnir", Rgb14(e1, piece[:6], False, pt.cc),
+                               Nir14(e2, nir0, False, pt.cc)))
+            elif t == ITEM_BYTE14:
+                es = [Enc() for _ in piece]
+                encs.extend(es)
+                codecs.append(("bytes", Byte14(es, piece, False, pt.cc)))
+            else:
+                raise ValueError(f"unsupported v3 item {t}")
+        for rec in chunk[1:]:
+            ctxv = pt.cc
+            for (tag, *cs), piece in zip(codecs, _split_schema(rec, sizes)):
+                if tag == "pt":
+                    cs[0].write(piece)
+                    ctxv = cs[0].cc
+                elif tag == "rgb":
+                    cs[0].write(piece, ctxv)
+                elif tag == "rgbnir":
+                    cs[0].write(piece[:6], ctxv)
+                    cs[1].write(struct.unpack("<H", piece[6:8])[0], ctxv)
+                else:
+                    cs[0].write(piece, ctxv)
+        layer_bytes = [e.done() for e in encs]
+        payload = struct.pack("<L", len(chunk))
+        payload += b"".join(struct.pack("<L", len(b)) for b in layer_bytes)
+        payload += bytes(chunk[0])
+        payload += b"".join(layer_bytes)
+        payloads.append(payload)
+    body = b"".join(payloads)
+    table_off = 8 + len(body)
+    tenc = Enc()
+    tic = IntCoder(tenc, 2, decode=False)
+    prev = 0
+    for p in payloads:
+        tic.compress(prev, len(p), 1)
+        prev = len(p)
+    table = struct.pack("<LL", 0, len(payloads)) + tenc.done()
+    return struct.pack("<q", table_off) + body + table
+
+
+def decode_blob_layered(blob: bytes, types: Sequence[int],
+                        sizes: Sequence[int], n_points: int) -> bytes:
+    """Layered LAZ point blob -> raw records (chunks are self-delimiting)."""
+    assert types[0] == ITEM_POINT14
+    rec_size = sum(sizes)
+    pos = 8
+    out = bytearray()
+    done = 0
+    while done < n_points:
+        (count,) = struct.unpack_from("<L", blob, pos)
+        pos += 4
+        lsz = []
+        for t, s in zip(types, sizes):
+            nl = _v3_layer_count(t, s)
+            lsz.append(list(struct.unpack_from(f"<{nl}L", blob, pos)))
+            pos += 4 * nl
+        raw = blob[pos:pos + rec_size]
+        pos += rec_size
+        out += raw
+        pieces0 = _split_schema(raw, sizes)
+        codecs = []
+        pt = None
+        li = 0
+        flat_sizes = [s for group in lsz for s in group]
+
+        def next_dec():
+            nonlocal pos, li
+            d = Dec(blob, pos)
+            pos += flat_sizes[li]
+            li += 1
+            return d
+
+        for t, piece in zip(types, pieces0):
+            if t == ITEM_POINT14:
+                lc = {k: next_dec() for k in Point14.LAYERS}
+                pt = Point14(lc, piece, decode=True)
+                codecs.append(("pt", pt))
+            elif t == ITEM_RGB14:
+                codecs.append(("rgb", Rgb14(next_dec(), piece, True, pt.cc)))
+            elif t == ITEM_RGBNIR14:
+                d1, d2 = next_dec(), next_dec()
+                nir0 = struct.unpack("<H", piece[6:8])[0]
+                codecs.append(("rgbnir", Rgb14(d1, piece[:6], True, pt.cc),
+                               Nir14(d2, nir0, True, pt.cc)))
+            elif t == ITEM_BYTE14:
+                ds = [next_dec() for _ in piece]
+                codecs.append(("bytes", Byte14(ds, piece, True, pt.cc)))
+            else:
+                raise ValueError(f"unsupported v3 item {t}")
+        for _ in range(count - 1):
+            ctxv = pt.cc
+            parts = []
+            for tag, *cs in codecs:
+                if tag == "pt":
+                    parts.append(cs[0].read())
+                    ctxv = cs[0].cc
+                elif tag == "rgb":
+                    parts.append(cs[0].read(ctxv))
+                elif tag == "rgbnir":
+                    parts.append(cs[0].read(ctxv)
+                                 + struct.pack("<H", cs[1].read(ctxv)))
+                else:
+                    parts.append(cs[0].read(ctxv))
+            out += b"".join(parts)
+        done += count
+    return bytes(out)
+
+
+def write_laz14(path: str, pos, classification=None, intensity=None,
+                gps_time=None, scanner_channel=None, scale: float = 0.001,
+                chunk_size: int = 50000) -> None:
+    """LAS 1.4 point-format-6 .laz file, entirely through the oracle codec
+    (compressor 3, layered POINT14 v3) — the foreign LAS 1.4 fixture for
+    tests of the native codec's reader."""
+    import numpy as np
+
+    pos = np.asarray(pos, np.float64)
+    n = len(pos)
+    off = pos.min(axis=0) if n else np.zeros(3)
+    xyz = np.round((pos - off) / scale).astype(np.int64)
+    recs = []
+    for i in range(n):
+        chan = int(scanner_channel[i]) & 3 if scanner_channel is not None \
+            else 0
+        recs.append(struct.pack(
+            _P14_FMT, int(xyz[i, 0]), int(xyz[i, 1]), int(xyz[i, 2]),
+            int(intensity[i]) if intensity is not None else 0,
+            0x11, chan << 4,
+            int(classification[i]) if classification is not None else 0,
+            0, 0, 0,
+            float(gps_time[i]) if gps_time is not None else 0.0))
+    blob = bytearray(encode_blob_layered(recs, [ITEM_POINT14], [30],
+                                         chunk_size))
+
+    vlr_payload = struct.pack("<HHBBHLLqqH", 3, 0, 3, 4, 0, 0,
+                              chunk_size & M32, -1, -1, 1)
+    vlr_payload += struct.pack("<HHH", ITEM_POINT14, 30, 3)
+    vlr = struct.pack("<H16sHH32s", 0, b"laszip encoded\x00\x00", 22204,
+                      len(vlr_payload), b"laz_oracle (independent impl)")
+    header_size = 375
+    offset_to_points = header_size + len(vlr) + len(vlr_payload)
+    (rel,) = struct.unpack_from("<q", blob, 0)
+    struct.pack_into("<q", blob, 0, rel + offset_to_points)
+
+    header = bytearray(header_size)
+    header[0:4] = b"LASF"
+    header[24] = 1
+    header[25] = 4
+    struct.pack_into("<H", header, 94, header_size)
+    struct.pack_into("<L", header, 96, offset_to_points)
+    struct.pack_into("<L", header, 100, 1)
+    header[104] = 6 | 0x80
+    struct.pack_into("<H", header, 105, 30)
+    struct.pack_into("<L", header, 107, 0)      # legacy count stays 0
+    struct.pack_into("<3d", header, 131, scale, scale, scale)
+    struct.pack_into("<3d", header, 155, *off)
+    mx = pos.max(axis=0) if n else np.zeros(3)
+    mn = pos.min(axis=0) if n else np.zeros(3)
+    struct.pack_into("<6d", header, 179, mx[0], mn[0], mx[1], mn[1],
+                     mx[2], mn[2])
+    struct.pack_into("<Q", header, 247, n)      # LAS 1.4 u64 point count
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(vlr)
+        f.write(vlr_payload)
+        f.write(bytes(blob))
