@@ -126,49 +126,64 @@ def _fwd_kernel(xa, xb, xc, oa, ob, oc, out, *, d):
     out[0, 0] = _pool_yz(m3, h1, w1)
 
 
-def _bwd_kernel(xr, orr, ya, yb, cta, ctb, dx, *, d1):
-    """dx plane x0 via equality routing against the saved output planes.
-    ct is pre-masked to occupied outputs, so comparing against the SAVED
-    y (zero at unoccupied sites) never routes garbage.
+def _bwd_kernel(xr, orr, ya, ya_hi, yb, yb_hi, cta, cta_hi, ctb, ctb_hi,
+                dx, *, d1, h, h1, th):
+    """dx H-tile of plane x0 via equality routing against the saved output
+    planes. ct is pre-masked to occupied outputs, so comparing against the
+    SAVED y (zero at unoccupied sites) never routes garbage.
 
     All in-register math is f32: Mosaic cannot lower the sublane-axis
     interleave (`tpu.repeat` along dim -2) for bf16 vectors — probed
     on-device 2026-08-19; the f32 path compiles on both axes. Loads stay
     bf16 (DMA traffic unchanged) and bf16->f32 is exact, so the equality
-    routing is bit-identical."""
+    routing is bit-identical.
+
+    TILING: the f32 temporaries over a full [88,80,64] plane put the
+    un-tiled kernel at 61.7 MB of scoped VMEM vs the 16 MB limit (measured
+    on v5e 2026-08-19), so the grid carries an H-tile axis: each program
+    handles `th` input rows. Output rows (i+ty)//2 for a tile straddle one
+    H1-block boundary, so each y/ct term arrives as a (lo, hi) block pair
+    and the kernel uses lo plus hi's first row."""
     x0 = pl.program_id(1)
-    h, w, c = xr.shape[2], xr.shape[3], xr.shape[4]
-    h1, w1 = ya.shape[2], ya.shape[3]
+    hb = pl.program_id(2)
+    w, c = xr.shape[3], xr.shape[4]
+    w1 = ya.shape[3]
+    th2 = th // 2
     neg = jnp.asarray(NEG, jnp.float32)
-    filled = jnp.where(orr[0, 0][..., None] > 0,
+
+    rows_g = hb * th + jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    in_h = rows_g < h
+
+    filled = jnp.where((orr[0, 0][..., None] > 0) & in_h,
                        xr[0, 0].astype(jnp.float32), neg)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, 1, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
-
-    def one_xterm(yp, ctp, enable):
-        yp = yp.astype(jnp.float32)
-        ctp = ctp.astype(jnp.float32)
-        acc = jnp.zeros((h, w, c), jnp.float32)
+    def one_xterm(y_lo, y_hi, ct_lo, ct_hi, enable):
+        # rows [hb*th2, hb*th2 + th2] of the output plane: lo block + the
+        # first row of the next block (garbage past h1 — masked below)
+        yf = jnp.concatenate([y_lo, y_hi[:1]], 0).astype(jnp.float32)
+        ctf = jnp.concatenate([ct_lo, ct_hi[:1]], 0).astype(jnp.float32)
+        acc = jnp.zeros((th, w, c), jnp.float32)
         for ty in (0, 1):
-            vy = ((rows % 2) == 1) if ty else (rows >= 0)
-            vy = vy & (((rows + ty) // 2) < h1)
+            vy = ((rows_g % 2) == 1) if ty else (rows_g >= 0)
+            vy = vy & (((rows_g + ty) // 2) < h1) & in_h
             for tz in (0, 1):
                 vz = ((cols % 2) == 1) if tz else (cols >= 0)
                 vz = vz & (((cols + tz) // 2) < w1)
-                y_up = _upsample2(_upsample2(yp, ty, 0, h, neg),
+                y_up = _upsample2(_upsample2(yf, ty, 0, th, neg),
                                   tz, 1, w, neg)
-                ct_up = _upsample2(_upsample2(ctp, ty, 0, h, 0.0),
+                ct_up = _upsample2(_upsample2(ctf, ty, 0, th, 0.0),
                                    tz, 1, w, 0.0)
                 sel = (filled == y_up) & vy & vz & enable
                 acc = acc + jnp.where(sel, ct_up, 0.0)
         return acc
 
     # term a: x1 = x0//2 always covers x0 (odd x0: 2*(x0//2)+1 == x0).
-    acc = one_xterm(ya[0, 0], cta[0, 0], True)
+    acc = one_xterm(ya[0, 0], ya_hi[0, 0], cta[0, 0], cta_hi[0, 0], True)
     # term b: x1 = (x0+1)//2 — distinct iff x0 odd; masked past the top.
     enable_b = ((x0 % 2) == 1) & (((x0 + 1) // 2) < d1)
-    acc = acc + one_xterm(yb[0, 0], ctb[0, 0], enable_b)
+    acc = acc + one_xterm(yb[0, 0], yb_hi[0, 0], ctb[0, 0], ctb_hi[0, 0],
+                          enable_b)
     dx[0, 0] = acc.astype(dx.dtype)
 
 
@@ -211,27 +226,41 @@ def _bwd_call(x, occ4, y, ct, interpret=False):
     b, d, h, w, c = x.shape
     d1, h1, w1 = y.shape[1], y.shape[2], y.shape[3]
     occ4 = occ4.astype(jnp.float32)   # see _fwd_call
-
-    def spec5(m, hh, ww):
-        return pl.BlockSpec((1, 1, hh, ww, c),
-                            lambda bb, i, _m=m: (bb, _m(i), 0, 0, 0))
+    # H-tile size: VMEM scales with it (see _bwd_kernel TILING note); must
+    # be even so local row parity equals global parity
+    th = min(8, h + (h % 2))
+    nh = _cdiv(h, th)
 
     ident = lambda i: i                                  # noqa: E731
     ia = lambda i: i // 2                                # noqa: E731
     ib = lambda i: jnp.minimum((i + 1) // 2, d1 - 1)     # noqa: E731
-    ospec = pl.BlockSpec((1, 1, h, w),
-                         lambda bb, i: (bb, i, 0, 0))
+    hlo = lambda j: j                                    # noqa: E731
+    hhi = lambda j: jnp.minimum(j + 1, nh - 1)           # noqa: E731
+
+    def xspec():
+        return pl.BlockSpec((1, 1, th, w, c),
+                            lambda bb, i, j: (bb, i, j, 0, 0))
+
+    def yspec(m, hm):
+        return pl.BlockSpec(
+            (1, 1, th // 2, w1, c),
+            lambda bb, i, j, _m=m, _hm=hm: (bb, _m(i), _hm(j), 0, 0))
+
+    ospec = pl.BlockSpec((1, 1, th, w),
+                         lambda bb, i, j: (bb, i, j, 0))
     return pl.pallas_call(
-        partial(_bwd_kernel, d1=d1),
-        grid=(b, d),
-        in_specs=[spec5(ident, h, w), ospec,
-                  spec5(ia, h1, w1), spec5(ib, h1, w1),
-                  spec5(ia, h1, w1), spec5(ib, h1, w1)],
-        out_specs=pl.BlockSpec((1, 1, h, w, c),
-                               lambda bb, i: (bb, i, 0, 0, 0)),
+        partial(_bwd_kernel, d1=d1, h=h, h1=h1, th=th),
+        grid=(b, d, nh),
+        in_specs=[xspec(), ospec,
+                  yspec(ia, hlo), yspec(ia, hhi),
+                  yspec(ib, hlo), yspec(ib, hhi),
+                  yspec(ia, hlo), yspec(ia, hhi),
+                  yspec(ib, hlo), yspec(ib, hhi)],
+        out_specs=pl.BlockSpec((1, 1, th, w, c),
+                               lambda bb, i, j: (bb, i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), x.dtype),
         interpret=interpret,
-    )(x, occ4, y, y, ct, ct)
+    )(x, occ4, y, y, y, y, ct, ct, ct, ct)
 
 
 # ---------------------------------------------------------------------------
