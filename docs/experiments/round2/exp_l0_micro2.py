@@ -100,15 +100,21 @@ def chain_gather(n):
     def run(x, coords, mask):
         dense, _ = scatter_to_dense_batch(coords, mask, x, DIMS)
         folded = _fold_zy(dense, 7, 7)
+        flat = folded.reshape(-1, folded.shape[-1])
         d, h, w = DIMS
         cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
-        idx = _patch_indices_grouped(cc, DIMS, 7, 7)        # [B,V,7]
+        idx0 = _patch_indices_grouped(cc, DIMS, 7, 7)       # [B,V,7]
 
-        def body(t, _):
-            rows = batched_rows(t.reshape(-1, t.shape[-1]), idx)
-            return _dus_feedback(
-                t, jnp.mean(rows[:1, :1, :, :]) * 1e-9), None
-        out, _ = jax.lax.scan(body, folded, None, length=n)
+        # Carry the SMALL idx array (feedback = always-zero int derived
+        # from this iteration's rows): serializes iterations without
+        # duplicating the 3.1 GB folded table as a scan carry, which
+        # OOM'ed the original table-carry chain (l0_micro.log).
+        def body(idx, _):
+            rows = batched_rows(flat, idx)
+            fb = (jnp.mean(rows[:1, :1].astype(jnp.float32))
+                  * 1e-9).astype(idx.dtype)
+            return idx + fb, None
+        out, _ = jax.lax.scan(body, idx0, None, length=n)
         return out
     return run
 
@@ -251,6 +257,25 @@ def chain_pool_fb(n):
     return _pool_chain(n, backward=True)
 
 
+def chain_pool_fused(n):
+    """scatter64 + occupancy_pool + maxpool fwd + ROW-SPACE custom bwd
+    (ops/sparse_stem.pooled_rows_fused) — the round-3 candidate replacing
+    scatter64(chain)+pool_fb: grad w.r.t. the ROWS, like the model."""
+    from dpcr_agb_tpu.ops.sparse_stem import pooled_rows_fused
+
+    def run(h64, coords, mask):
+        def loss(c):
+            y, _ = pooled_rows_fused(coords, mask, c, DIMS)
+            return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-6
+
+        def body(c, _):
+            g = jax.grad(loss)(c)
+            return c - g.astype(c.dtype) * 1e-9, None
+        out, _ = jax.lax.scan(body, h64, None, length=n)
+        return out
+    return run
+
+
 def chain_l0_section(n):
     """The exact _dense_forward sparse-L0 branch + sum-pool head,
     value+grad w.r.t. all params — should reproduce vg_layers0."""
@@ -307,6 +332,7 @@ CHAINS = {
     "occ_pool": (chain_occ_pool, "xcm"),
     "pool_fwd": (chain_pool_fwd, "hcm"),
     "pool_fb": (chain_pool_fb, "hcm"),
+    "pool_fused": (chain_pool_fused, "hcm"),
     "l0_section": (chain_l0_section, "xcmw"),
 }
 POOL_SUBSET = ["pool_fwd", "pool_fb", "l0_section"]

@@ -421,7 +421,14 @@ class SparseResNet(nn.Module):
                                name="stem_norm")(
                 h_rows, mask, use_running_average=not train)
             h_rows = act(h_rows) * mask[..., None].astype(h_rows.dtype)
-            if SPARSE_POOL_MODE == "scattermax":
+            if SPARSE_POOL_MODE == "fused":
+                # dense forward (scatter + reduce_window — cheapest fwd,
+                # round 2) with a row-space custom VJP: L1 cotangents are
+                # routed straight to rows via the 8-parent equality gather;
+                # no select_and_scatter, no full-res cotangent volume
+                from ..ops.sparse_stem import pooled_rows_fused
+                h, occ_l = pooled_rows_fused(coords, mask, h_rows, dims)
+            elif SPARSE_POOL_MODE == "scattermax":
                 # pool rows straight into the L1 volume (1..8 parent cells
                 # per site): no full-res 64ch volume, no reduce_window, no
                 # select_and_scatter backward

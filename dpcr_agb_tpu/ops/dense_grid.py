@@ -44,11 +44,15 @@ POOL_BWD_MODE = os.environ.get("DPCR_POOL_BWD", "xla")
 # "dense" (full-volume stem conv; 56.3 plots/s). Sweep history in
 # docs/experiments/round2/README.md.
 L0_MODE = os.environ.get("DPCR_L0", "sparse")
-# DPCR_SPARSE_POOL (sparse L0 only): "rows" (27-row gather + scatter-add
-# backward) or "dense" (scatter rows to the volume, reduce_window pool —
-# measured cheaper: 23 ms fwd + bounded select_and_scatter backward vs
-# ~170 ms for the row form at bs16)
-SPARSE_POOL_MODE = os.environ.get("DPCR_SPARSE_POOL", "dense")
+# DPCR_SPARSE_POOL (sparse L0 only): "fused" (DEFAULT — dense forward +
+# row-space custom VJP, ops/sparse_stem.pooled_rows_fused: no
+# select_and_scatter, no full-res cotangent volume; bench A/B 71.84 vs
+# 65.99 plots/s at bs16, docs/experiments/round3/pool_fused_ab.log),
+# "dense" (scatter rows to the volume, reduce_window pool,
+# select_and_scatter backward — the round-2 default), "rows" (27-row
+# gather + scatter-add backward; ~170 ms at bs16), or "scattermax" (rows
+# straight into the L1 volume; lost in round 2)
+SPARSE_POOL_MODE = os.environ.get("DPCR_SPARSE_POOL", "fused")
 
 # D-fold reformulation of tiny-Cin convs (the k7 Cin<=4 stem). Microbenched
 # in isolation it crushes XLA's 3D conv emitter (fwd 140->71 ms, dw
@@ -239,8 +243,18 @@ def dense_max_pool(x: jnp.ndarray, occ_in: jnp.ndarray,
         # flag is static so each backend gets its own cached trace
         return pallas_max_pool(x, occ_in, occ_out,
                                jax.default_backend() != "tpu")
+    return dense_max_pool_xla(x, occ_in, occ_out,
+                              separable=POOL_BWD_MODE == "separable")
+
+
+def dense_max_pool_xla(x: jnp.ndarray, occ_in: jnp.ndarray,
+                       occ_out: jnp.ndarray,
+                       separable: bool = False) -> jnp.ndarray:
+    """The plain-XLA k3/s2 masked window max — dense_max_pool without the
+    POOL_BWD_MODE dispatch (used as the forward of the fused rows->L1 pool
+    in ops/sparse_stem.pooled_rows_fused, which supplies its own VJP)."""
     filled = jnp.where(occ_in > 0, x, jnp.asarray(NEG_INF, x.dtype))
-    y = windowed_max(filled, separable=POOL_BWD_MODE == "separable")
+    y = windowed_max(filled, separable=separable)
     return jnp.where(occ_out > 0, y, 0.0)
 
 

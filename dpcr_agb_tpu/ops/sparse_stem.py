@@ -451,6 +451,106 @@ def _scatter_max_pool_impl(coords: jnp.ndarray, mask: jnp.ndarray,
     return pooled, occ
 
 
+def _pool_parents(coords, mask, dims):
+    """Shared L0-row -> L1-parent enumeration for the Minkowski MaxPool
+    (kernel 3, stride 2): each L0 site x lies in the window of the L1
+    sites u with |x - 2u|_inf <= 1, i.e. u_d in {x_d//2, (x_d+1)//2} per
+    axis — 1..8 parents in 8 static slots (duplicates masked).
+    Returns (flat [B,V,8] row indices into the batch-flattened L1 grid
+    with b*s1 as the dump row, valid [B,V,8], s1)."""
+    d, h, w = dims
+    d1, h1, w1 = -(-d // 2), -(-h // 2), -(-w // 2)
+    b = mask.shape[0]
+    s1 = d1 * h1 * w1
+    in_vol = jnp.all((coords >= 0) & (coords < jnp.asarray([d, h, w])),
+                     axis=-1)
+    mask = mask & in_vol
+    cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    lo = cc // 2
+    hi = (cc + 1) // 2
+    us, valids = [], []
+    for bits in range(8):
+        pick = [(bits >> a) & 1 for a in range(3)]
+        u = jnp.stack([jnp.where(pick[a] == 1, hi[..., a], lo[..., a])
+                       for a in range(3)], axis=-1)
+        dup = jnp.zeros(mask.shape, bool)
+        for a in range(3):
+            if pick[a]:
+                dup = dup | (hi[..., a] == lo[..., a])
+        in_b = jnp.all(u < jnp.asarray([d1, h1, w1]), axis=-1)
+        us.append(u)
+        valids.append(mask & in_b & ~dup)
+    u8 = jnp.stack(us, axis=2)                              # [B,V,8,3]
+    valid = jnp.stack(valids, axis=2)                       # [B,V,8]
+    flat = (u8[..., 0] * h1 + u8[..., 1]) * w1 + u8[..., 2]
+    flat = flat + (jnp.arange(b, dtype=flat.dtype) * s1)[:, None, None]
+    return jnp.where(valid, flat, b * s1), valid, s1
+
+
+def pooled_rows_fused(coords, mask, h_rows, dims):
+    """scatter64 + occupancy_pool + dense maxpool, fused at the VJP level.
+
+    Forward: bit-identical to the SPARSE_POOL_MODE="dense" branch (scatter
+    rows to the full-res volume, reduce_window k3/s2, mask by pooled
+    occupancy) — that forward measured cheapest in round 2. Backward:
+    instead of select_and_scatter producing a full-res [B,D,H,W,C]
+    cotangent volume that the scatter's VJP then re-gathers at coords, the
+    L1 cotangents are routed straight to the rows: gather each row's 1..8
+    parent L1 cells (ONE [B,V,8] row gather of the concatenated [y|ct]
+    table, via _pool_parents) and accumulate ct where the row's value
+    equals the window max (f32 accumulate). 2M gathered rows at bs16
+    replace the 1.27 GB select_and_scatter + its residual volume.
+
+    Tie semantics: a value tie between DIFFERENT rows in one window splits
+    the cotangent across all maximizers where select_and_scatter picks one
+    — measure-zero for real activations (same contract as
+    scatter_max_pool_batch; parity tests use distinct values). Empty L1
+    cells carry ct=0 so their y=0 rows can never route anything.
+
+    Returns (pooled [B,d1,h1,w1,C], occ_l [B,d1,h1,w1,1] — occupancy is
+    gradient-free, matching occupancy_pool's stop_gradient)."""
+    if layout.BATCH_LOCAL:
+        return _per_sample(_pooled_rows_fused, 3, coords, mask, h_rows,
+                           tuple(dims))
+    return _pooled_rows_fused(coords, mask, h_rows, tuple(dims))
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pooled_rows_fused(coords, mask, h_rows, dims):
+    return _pooled_rows_fwd(coords, mask, h_rows, dims)[0]
+
+
+def _pooled_rows_fwd(coords, mask, h_rows, dims):
+    from .dense_grid import dense_max_pool_xla, occupancy_pool
+    hv, occ_v = _scatter_to_dense_impl(coords, mask, h_rows, dims)
+    occ_l = occupancy_pool(occ_v)
+    y = dense_max_pool_xla(hv, occ_v, occ_l)
+    return (y, occ_l), (coords, mask, h_rows, y, occ_l)
+
+
+def _pooled_rows_bwd(dims, res, cts):
+    coords, mask, h_rows, y, occ_l = res
+    ct_y, _ = cts                      # occupancy output is gradient-free
+    b, v = mask.shape
+    c = h_rows.shape[-1]
+    ctm = jnp.where(occ_l > 0, ct_y, 0).astype(y.dtype)
+    flat, valid, s1 = _pool_parents(coords, mask, dims)
+    tab = jnp.concatenate([y, ctm], axis=-1).reshape(b * s1, 2 * c)
+    tab = jnp.concatenate([tab, jnp.zeros((1, 2 * c), tab.dtype)], axis=0)
+    g = batched_rows(tab, flat)                             # [B,V,8,2C]
+    eq = (g[..., :c] == h_rows[:, :, None, :]) & valid[..., None]
+    dx = jnp.sum(jnp.where(eq, g[..., c:].astype(jnp.float32), 0.0), axis=2)
+    dx = jnp.where(mask[..., None], dx, 0.0).astype(h_rows.dtype)
+    f0 = jax.dtypes.float0
+    return (np.zeros(coords.shape, f0), np.zeros(mask.shape, f0), dx)
+
+
+_pooled_rows_fused.defvjp(_pooled_rows_fwd, _pooled_rows_bwd)
+
+
 # ---- per-sample wrappers (parity-test surface) -----------------------------
 
 def stem_conv_sparse(coords: jnp.ndarray, mask: jnp.ndarray,

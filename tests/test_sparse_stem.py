@@ -180,6 +180,86 @@ def test_scatter_max_pool_matches_dense():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pooled_rows_fused_matches_dense(monkeypatch):
+    """pooled_rows_fused forward is bit-identical to scatter-to-dense +
+    occupancy_pool + dense_max_pool, and its row-space custom backward
+    matches the select_and_scatter gradient exactly when window values are
+    distinct (random normals — ties are measure-zero; the tie contract is
+    documented on the op). Checked flat and BATCH_LOCAL."""
+    from dpcr_agb_tpu.ops import layout
+    from dpcr_agb_tpu.ops.sparse_stem import pooled_rows_fused
+    rng = np.random.default_rng(7)
+    dims = (11, 10, 9)
+    cs, ms, fs = [], [], []
+    for b, n_occ in ((0, 47), (1, 21), (2, 64)):
+        c_, m_ = _random_sites(np.random.default_rng(70 + b), dims, n_occ, 64)
+        cs.append(c_), ms.append(m_)
+        f_ = jnp.asarray(rng.normal(size=(64, 6)), jnp.float32)
+        fs.append(jnp.where(m_[:, None], f_, 0.0))
+    coords, mask = jnp.stack(cs), jnp.stack(ms)
+    # masked-in out-of-bounds coord: both formulations must drop it
+    coords = coords.at[0, 0].set(jnp.asarray([dims[0] + 3, -2, 1]))
+    feats = jnp.stack(fs)
+
+    def dense_ref(f):
+        dense, occ = jax.vmap(
+            lambda c, m, x: scatter_to_dense(c, m, x, dims))(coords, mask, f)
+        occ1 = occupancy_pool(occ)
+        return dense_max_pool(dense, occ, occ1), occ1
+
+    want, occ_want = dense_ref(feats)
+    ct = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+    g_want = jax.grad(lambda f: jnp.sum(dense_ref(f)[0] * ct))(feats)
+
+    for batch_local in (False, True):
+        monkeypatch.setattr(layout, "BATCH_LOCAL", batch_local)
+        got, occ_got = pooled_rows_fused(coords, mask, feats, dims)
+        np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_want))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        g_got = jax.grad(
+            lambda f: jnp.sum(pooled_rows_fused(coords, mask, f, dims)[0]
+                              * ct))(feats)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pooled_rows_fused_whole_model(monkeypatch):
+    """SENet14 with DPCR_SPARSE_POOL=fused matches the dense-pool sparse-L0
+    execution (shared params): identical forward, matching param grads."""
+    from dpcr_agb_tpu.models.minkowski import build_resnet
+    from dpcr_agb_tpu.ops import dense_grid
+
+    class _DS:
+        num_reg_classes = 2
+    net = build_resnet("SENet14", {
+        "activation": "gelu", "first_stride": 1, "global_pool": "sum",
+        "drop_path": 0.0,
+        "extra_options": {"dense_dims": [16, 16, 16]}}, _DS(), None)
+    rng = np.random.default_rng(33)
+    b = TestWholeModelParity()._batch(rng)
+    monkeypatch.setattr(dense_grid, "L0_MODE", "sparse")
+    monkeypatch.setattr(dense_grid, "SPARSE_POOL_MODE", "dense")
+    variables = net.init(jax.random.PRNGKey(0), b, train=False)
+    out_dense = net.apply(variables, b, train=False)
+
+    def loss(p, variables=variables):
+        return jnp.sum(net.apply({**variables, "params": p}, b,
+                                 train=False) ** 2)
+    g_dense = jax.grad(loss)(variables["params"])
+
+    monkeypatch.setattr(dense_grid, "SPARSE_POOL_MODE", "fused")
+    out_fused = net.apply(variables, b, train=False)
+    np.testing.assert_array_equal(np.asarray(out_fused), np.asarray(out_dense))
+    g_fused = jax.grad(loss)(variables["params"])
+
+    def _cmp(path, gd, gf):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gd), rtol=5e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path))
+    jax.tree_util.tree_map_with_path(_cmp, g_dense, g_fused)
+
+
 @pytest.mark.slow
 def test_scatter_max_pool_whole_model(monkeypatch):
     """SENet14 with DPCR_SPARSE_POOL=scattermax matches the dense-L0
