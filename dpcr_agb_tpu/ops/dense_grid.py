@@ -54,6 +54,14 @@ L0_MODE = os.environ.get("DPCR_L0", "sparse")
 # straight into the L1 volume; lost in round 2)
 SPARSE_POOL_MODE = os.environ.get("DPCR_SPARSE_POOL", "fused")
 
+# DPCR_POOL_FWD (fused sparse pool only): forward flavor under the
+# row-space custom VJP — "dense" (scatter + one-pass reduce_window),
+# "separable" (three axis-wise window maxes; cheaper HBM traffic per the
+# cost model, more launches), "scattermax" (8-parent scatter-max straight
+# into the L1 volume — never materializes the full-res 65ch volume).
+# All three produce identical values (tests/test_sparse_stem.py).
+POOL_FWD_MODE = os.environ.get("DPCR_POOL_FWD", "dense")
+
 # D-fold reformulation of tiny-Cin convs (the k7 Cin<=4 stem). Microbenched
 # in isolation it crushes XLA's 3D conv emitter (fwd 140->71 ms, dw
 # 350->78 ms at bs16 [88,88,80] bf16), but IN-MODEL it is a net loss:

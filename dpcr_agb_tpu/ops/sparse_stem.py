@@ -258,17 +258,27 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
     mirroring dense_conv)."""
     cout = weights.shape[-1]
     b, v = mask.shape
+    itemsize = np.dtype(compute_dtype).itemsize
+    k = kernel_size
     if layout.BATCH_LOCAL:
         # group size from the true per-device batch (b=1 inside the vmap
         # lane would overestimate the budget headroom)
-        g = _pick_group(kernel_size, feats.shape[-1], dims, b,
-                        np.dtype(compute_dtype).itemsize)
+        g = _pick_group(k, feats.shape[-1], dims, b, itemsize)
+        if STEM_MODE == "xminor" and g == k:
+            return _per_sample(_stem_conv_core_xminor, 3, coords, mask,
+                               feats, dims, weights, k, compute_dtype)
         return _per_sample(_stem_conv_core, 3, coords, mask, feats, dims,
-                           weights, kernel_size, compute_dtype, g)
+                           weights, k, compute_dtype, g)
     chunks = FOLD_CHUNKS
     if chunks == 0:
-        chunks = _auto_chunks(kernel_size, feats.shape[-1], dims, b,
-                              np.dtype(compute_dtype).itemsize)
+        chunks = _auto_chunks(k, feats.shape[-1], dims, b, itemsize)
+    # the xminor core NEEDS the full y-fold (g=k); its table is the same
+    # size as the grouped g=k table, so the g=k budget check doubles as
+    # its feasibility gate — degrade to the grouped path otherwise
+    core = _stem_conv_core
+    if STEM_MODE == "xminor" and _pick_group(
+            k, feats.shape[-1], dims, b // chunks, itemsize) == k:
+        core = _stem_conv_core_xminor
     if chunks > 1:
         if b % chunks != 0 or b == chunks:
             raise ValueError(
@@ -278,15 +288,15 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
                 "memory/group-size profile)")
         bc = b // chunks
         y = jax.lax.map(
-            lambda args: _stem_conv_core(
+            lambda args: core(
                 args[0], args[1], args[2], dims, weights, kernel_size,
                 compute_dtype),
             (coords.reshape(chunks, bc, v, 3),
              mask.reshape(chunks, bc, v),
              feats.reshape(chunks, bc, v, -1)))
         return y.reshape(b, v, cout)
-    return _stem_conv_core(coords, mask, feats, dims, weights, kernel_size,
-                           compute_dtype)
+    return core(coords, mask, feats, dims, weights, kernel_size,
+                compute_dtype)
 
 
 def _stem_conv_core(coords, mask, feats, dims, weights, kernel_size,
@@ -310,6 +320,83 @@ def _stem_conv_core(coords, mask, feats, dims, weights, kernel_size,
     y = jnp.dot(patches, wf,
                 preferred_element_type=jnp.float32).reshape(b, v, cout)
     return jnp.where(mask[..., None], y, 0.0).astype(compute_dtype)
+
+
+def _stem_conv_core_xminor(coords, mask, feats, dims, weights, kernel_size,
+                           compute_dtype):
+    """x-minor reformulation of `_stem_conv_core` (DPCR_STEM=xminor):
+    scatter into [B,H,W,D,C] (x MINOR-most spatial axis), fold z fully and
+    y fully (g=k) so the k dx-rows of a site are k CONSECUTIVE flat table
+    rows, then view the table as rows of k*(k*k*Cin) — each site's whole
+    k^3 patch lies inside TWO consecutive wide rows (the x-extent is
+    padded to a multiple of k so wide rows never straddle an x-run).
+
+    Row count drops k/2-fold vs the grouped gather (2 wide rows vs k) —
+    and HBM row gathers are ROW-count-bound, not byte-bound (module
+    docstring cost model). The per-site alignment shift s = base % k is
+    absorbed into the matmul: ONE [BV, 2k^3 Cin] x [2k^3 Cin, k*Cout]
+    product against k shifted copies of the grouped weights (zeros
+    elsewhere), and a one-hot reduction picks each site's shift lane —
+    k x the stem FLOPs, which the MXU has to spare (the grouped path is
+    gather-bound at ~3% MXU utilization).
+
+    Same math as _stem_conv_core (parity-tested bit-exactly on CPU):
+    missing neighbors read zeros; out-of-volume coords are dropped by the
+    scatter and masked rows return 0."""
+    k = kernel_size
+    cin, cout = weights.shape[-2], weights.shape[-1]
+    d, h, w = dims
+    b, v = mask.shape
+    p = k // 2
+    # [B,H,W,D,C]: permute the coord columns instead of transposing volumes
+    dense, _ = _scatter_to_dense_impl(coords[..., jnp.asarray([1, 2, 0])],
+                                      mask, feats.astype(compute_dtype),
+                                      (h, w, d))
+    dp = -(-(d + 2 * p) // k) * k              # x-extent, multiple of k
+    xp = jnp.pad(dense, ((0, 0), (p, p), (p, p), (p, dp - d - p), (0, 0)))
+    # Fold x in ALIGNED groups of k FIRST (cheapest tensor), then z, then
+    # y fully — the table is BORN with k*k*k*Cin-wide rows, never
+    # reshaped across the lane axis (a [N,kkC] -> [N/k, k^3 C] reshape is
+    # a full-table relayout copy on TPU tiled layouts: the v1 xminor core
+    # measured 87.8 ms vs grouped 80.8 because of it). Channel nesting
+    # after the three folds is (dy, dz, dxg, c), dy major.
+    t = jnp.concatenate([xp[:, :, :, j::k] for j in range(k)], axis=-1)
+    t = jnp.concatenate([t[:, :, i:i + w] for i in range(k)], axis=-1)
+    h2 = h + 2 * p - (k - 1)
+    t = jnp.concatenate([t[:, dy:dy + h2] for dy in range(k)], axis=-1)
+    row_w = k * k * k * cin
+    wide = t.reshape(-1, row_w)                # [B*h2*w*(dp/k), k^3 Cin]
+    wide = jnp.concatenate(
+        [wide, jnp.zeros((1, row_w), wide.dtype)], axis=0)
+    cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    x = cc[..., 0]
+    wide0 = ((cc[..., 1] * w) + cc[..., 2]) * (dp // k) + x // k
+    wide0 = wide0 + (jnp.arange(b, dtype=wide0.dtype)
+                     * (h2 * w * (dp // k)))[:, None]
+    s = (x % k).reshape(-1)                                     # [BV]
+    g2 = batched_rows(wide, jnp.stack([wide0, wide0 + 1], axis=-1))
+    patches = g2.reshape(b * v, 2 * row_w)
+    # k shifted weight layouts in one [2 k^3 Cin, k*Cout] matrix: for
+    # shift s, tap (dx,dy,dz) lives in wide-row r=(s+dx)//k at channel
+    # (dy, dz, (s+dx)%k, c) — a static permutation of the hypercube
+    # weights (z fastest = dz minor within the (dy,dz) nesting).
+    w5 = weights.reshape(k, k, k, cin, cout)            # (dx, dy, dz, c)
+    wbig = jnp.zeros((2, k, k, k, cin, k, cout), weights.dtype)
+    for si in range(k):
+        for dx in range(k):
+            r, dxg = divmod(si + dx, k)
+            wbig = wbig.at[r, :, :, dxg, :, si, :].set(w5[dx])
+    wbig = wbig.reshape(2 * row_w, k * cout).astype(patches.dtype)
+    y_all = jnp.dot(patches, wbig, preferred_element_type=jnp.float32)
+    lane = (s[:, None] == jnp.arange(k))[..., None]             # [BV,k,1]
+    y = jnp.sum(jnp.where(lane, y_all.reshape(b * v, k, cout), 0.0),
+                axis=1).reshape(b, v, cout)
+    return jnp.where(mask[..., None], y, 0.0).astype(compute_dtype)
+
+
+# DPCR_STEM: "grouped" (round-2 default: k-row grouped gather) or
+# "xminor" (2-wide-row gather + shift-lane matmul, _stem_conv_core_xminor)
+STEM_MODE = os.environ.get("DPCR_STEM", "grouped")
 
 
 def pool_neighbor_map_batch(coords0, mask0, coords1, mask1, dims):
@@ -524,10 +611,15 @@ def _pooled_rows_fused(coords, mask, h_rows, dims):
 
 
 def _pooled_rows_fwd(coords, mask, h_rows, dims):
-    from .dense_grid import dense_max_pool_xla, occupancy_pool
-    hv, occ_v = _scatter_to_dense_impl(coords, mask, h_rows, dims)
-    occ_l = occupancy_pool(occ_v)
-    y = dense_max_pool_xla(hv, occ_v, occ_l)
+    from .dense_grid import POOL_FWD_MODE, dense_max_pool_xla, occupancy_pool
+    if POOL_FWD_MODE == "scattermax":
+        # rows straight into the L1 volume — no full-res 65ch volume at all
+        y, occ_l = _scatter_max_pool_impl(coords, mask, h_rows, dims)
+    else:
+        hv, occ_v = _scatter_to_dense_impl(coords, mask, h_rows, dims)
+        occ_l = occupancy_pool(occ_v)
+        y = dense_max_pool_xla(hv, occ_v, occ_l,
+                               separable=POOL_FWD_MODE == "separable")
     return (y, occ_l), (coords, mask, h_rows, y, occ_l)
 
 

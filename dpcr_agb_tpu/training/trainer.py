@@ -449,10 +449,16 @@ class Trainer:
         from .. import native
         if not native.is_available():
             return
+        # p90 default; models.<name>.calibrate_percentile (or the
+        # DPCR_KP_CALIB_PCT env var) tightens the crop — the reference's own
+        # neighborhood_limits cropping proves tolerance, and the edge
+        # pipeline cost is linear in K (docs/experiments/round3)
+        pct = float(option.get("calibrate_percentile",
+                               os.environ.get("DPCR_KP_CALIB_PCT", 90.0)))
         try:
             from ..utils.neighbor_calibration import run_find_neighbour_dist
             limits = run_find_neighbour_dist(
-                self.dataset, option, n_samples=16, percentile=90.0)
+                self.dataset, option, n_samples=16, percentile=pct)
         except Exception as e:
             log.warning(f"neighborhood-limit calibration skipped: {e}")
             return

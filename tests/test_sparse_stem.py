@@ -45,6 +45,82 @@ def test_sparse_stem_matches_dense_conv(k, cin, cout):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("k,cin,cout", [(7, 3, 16), (3, 4, 8), (5, 1, 4)])
+def test_xminor_stem_matches_dense_conv(monkeypatch, k, cin, cout):
+    """DPCR_STEM=xminor (2-wide-row gather + shift-lane matmul) matches the
+    grouped core EXACTLY everywhere (same clip contract for a masked-in
+    out-of-bounds coord — both return the conv at the clipped site, which
+    the loader precludes by voxelizing into dims) and the dense conv
+    oracle at in-bounds sites; batched samples of different occupancy and
+    BATCH_LOCAL covered."""
+    from dpcr_agb_tpu.ops import layout, sparse_stem
+    from dpcr_agb_tpu.ops.sparse_stem import stem_conv_sparse_batch
+    rng = np.random.default_rng(5)
+    dims = (12, 11, 9)
+    cs, ms, fs = [], [], []
+    for bi, n_occ in ((0, 37), (1, 14), (2, 48)):
+        c_, m_ = _random_sites(np.random.default_rng(50 + bi), dims, n_occ,
+                               48)
+        f_ = jnp.asarray(rng.normal(size=(48, cin)), jnp.float32)
+        cs.append(c_), ms.append(m_), fs.append(jnp.where(m_[:, None], f_, 0))
+    coords, mask = jnp.stack(cs), jnp.stack(ms)
+    coords = coords.at[1, 0].set(jnp.asarray([-1, dims[1] + 2, 0]))
+    feats = jnp.stack(fs)
+    w = jnp.asarray(rng.normal(size=(k ** 3, cin, cout)) * 0.1, jnp.float32)
+
+    def dense_ref(c, m, f):
+        dense, occ = scatter_to_dense(c, m, f, dims)
+        y = dense_conv(dense[None], occ[None], w, k)[0]
+        return gather_from_dense(y, c, m)
+    want = np.asarray(jax.vmap(dense_ref)(coords, mask, feats))
+    want_grouped = np.asarray(
+        stem_conv_sparse_batch(coords, mask, feats, dims, w, k))
+    in_bounds = np.asarray(jnp.all(
+        (coords >= 0) & (coords < jnp.asarray(dims)), axis=-1))
+
+    monkeypatch.setattr(sparse_stem, "STEM_MODE", "xminor")
+    for batch_local in (False, True):
+        monkeypatch.setattr(layout, "BATCH_LOCAL", batch_local)
+        got = np.asarray(
+            stem_conv_sparse_batch(coords, mask, feats, dims, w, k))
+        np.testing.assert_allclose(got[in_bounds], want[in_bounds],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got, want_grouped, rtol=1e-5, atol=1e-5)
+
+    # grad wrt weights matches the grouped path's
+    monkeypatch.setattr(layout, "BATCH_LOCAL", False)
+
+    def loss(wi):
+        y = stem_conv_sparse_batch(coords, mask, feats, dims, wi, k)
+        return jnp.sum(y ** 2)
+    g_x = jax.grad(loss)(w)
+    monkeypatch.setattr(sparse_stem, "STEM_MODE", "grouped")
+    g_g = jax.grad(loss)(w)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_g),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_xminor_falls_back_when_fold_budget_blocks_gk(monkeypatch):
+    """When the g=k fold does not fit the HBM budget (huge batch), the
+    xminor dispatch degrades to the grouped core instead of OOMing."""
+    from dpcr_agb_tpu.ops import sparse_stem
+    from dpcr_agb_tpu.ops.sparse_stem import stem_conv_sparse_batch
+    rng = np.random.default_rng(6)
+    dims = (12, 11, 9)
+    c_, m_ = _random_sites(rng, dims, 20, 32)
+    feats = jnp.asarray(rng.normal(size=(1, 32, 3)), jnp.float32)
+    feats = jnp.where(m_[None, :, None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(343, 3, 4)) * 0.1, jnp.float32)
+    monkeypatch.setattr(sparse_stem, "STEM_MODE", "xminor")
+    want = stem_conv_sparse_batch(c_[None], m_[None], feats, dims, w, 7)
+    # budget admitting only g=1: dispatch must pick the grouped core
+    monkeypatch.setattr(sparse_stem, "FOLD_BYTES_BUDGET",
+                        12 * 17 * 9 * 1 * 7 * 3 * 4 + 1)
+    got = stem_conv_sparse_batch(c_[None], m_[None], feats, dims, w, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sparse_stem_bf16_close():
     rng = np.random.default_rng(1)
     dims = (10, 10, 8)
@@ -180,14 +256,18 @@ def test_scatter_max_pool_matches_dense():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_pooled_rows_fused_matches_dense(monkeypatch):
-    """pooled_rows_fused forward is bit-identical to scatter-to-dense +
-    occupancy_pool + dense_max_pool, and its row-space custom backward
-    matches the select_and_scatter gradient exactly when window values are
-    distinct (random normals — ties are measure-zero; the tie contract is
-    documented on the op). Checked flat and BATCH_LOCAL."""
-    from dpcr_agb_tpu.ops import layout
+@pytest.mark.parametrize("fwd_mode", ["dense", "separable", "scattermax"])
+def test_pooled_rows_fused_matches_dense(monkeypatch, fwd_mode):
+    """pooled_rows_fused forward is value-identical to scatter-to-dense +
+    occupancy_pool + dense_max_pool under all three DPCR_POOL_FWD flavors
+    (occupancy compared as >0 — scattermax reports binary occupancy where
+    occupancy_pool reports the window max count), and its row-space custom
+    backward matches the select_and_scatter gradient exactly when window
+    values are distinct (random normals — ties are measure-zero; the tie
+    contract is documented on the op). Checked flat and BATCH_LOCAL."""
+    from dpcr_agb_tpu.ops import dense_grid, layout
     from dpcr_agb_tpu.ops.sparse_stem import pooled_rows_fused
+    monkeypatch.setattr(dense_grid, "POOL_FWD_MODE", fwd_mode)
     rng = np.random.default_rng(7)
     dims = (11, 10, 9)
     cs, ms, fs = [], [], []
@@ -214,7 +294,8 @@ def test_pooled_rows_fused_matches_dense(monkeypatch):
     for batch_local in (False, True):
         monkeypatch.setattr(layout, "BATCH_LOCAL", batch_local)
         got, occ_got = pooled_rows_fused(coords, mask, feats, dims)
-        np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_want))
+        np.testing.assert_array_equal(np.asarray(occ_got) > 0,
+                                      np.asarray(occ_want) > 0)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
         g_got = jax.grad(
             lambda f: jnp.sum(pooled_rows_fused(coords, mask, f, dims)[0]
