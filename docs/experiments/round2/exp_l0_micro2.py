@@ -119,6 +119,36 @@ def chain_gather(n):
     return run
 
 
+def chain_gather_mm(n):
+    """gather7 + the patch matmul (no scatter/fold in the loop): isolates
+    the stem's post-gather cost — patch-matrix materialization + the
+    [BV,1029]x[1029,64] dot + epilogue."""
+    from dpcr_agb_tpu.ops.sparse_stem import (_fold_zy, _grouped_weights,
+                                              _patch_indices_grouped,
+                                              batched_rows,
+                                              scatter_to_dense_batch)
+
+    def run(x, coords, mask, wts):
+        dense, _ = scatter_to_dense_batch(coords, mask, x, DIMS)
+        folded = _fold_zy(dense, 7, 7)
+        flat = folded.reshape(-1, folded.shape[-1])
+        d, h, w = DIMS
+        cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+        idx0 = _patch_indices_grouped(cc, DIMS, 7, 7)
+        wf = _grouped_weights(wts, 7, 7)
+        b, v = mask.shape
+
+        def body(idx, _):
+            rows = batched_rows(flat, idx)
+            y = jnp.dot(rows.reshape(b * v, -1), wf,
+                        preferred_element_type=jnp.float32)
+            fb = (jnp.mean(y[:1, :1]) * 1e-9).astype(idx.dtype)
+            return idx + fb, None
+        out, _ = jax.lax.scan(body, idx0, None, length=n)
+        return out
+    return run
+
+
 def chain_stem_fwd(n):
     from dpcr_agb_tpu.ops.sparse_stem import stem_conv_sparse_batch
 
@@ -324,6 +354,7 @@ CHAINS = {
     "scatter3": (chain_scatter3, "xcm"),
     "fold_g7": (chain_fold, "xcm"),
     "gather7": (chain_gather, "xcm"),
+    "gather_mm": (chain_gather_mm, "xcmw"),
     "stem_fwd": (chain_stem_fwd, "xcmw"),
     "stem_dw": (chain_stem_dw, "xcmw"),
     "stem_dw_remat": (chain_stem_dw_remat, "xcmw"),

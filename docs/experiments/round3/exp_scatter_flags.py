@@ -67,7 +67,8 @@ def chain_base(c):
     return factory
 
 
-def _scatter_sorted(coords, mask, feats, dims, use_set=False):
+def _scatter_sorted(coords, mask, feats, dims, use_set=False,
+                    sorted_flag=True):
     """Per-sample [s + V] table layout -> globally sorted unique indices."""
     d, h, w = dims
     b, v = mask.shape
@@ -88,16 +89,17 @@ def _scatter_sorted(coords, mask, feats, dims, use_set=False):
         scatter_dims_to_operand_dims=(0,))
     op = jax.lax.scatter if use_set else jax.lax.scatter_add
     table = op(table, idx.reshape(-1, 1), payload.reshape(b * v, -1), dn,
-               indices_are_sorted=True, unique_indices=True)
+               indices_are_sorted=sorted_flag, unique_indices=True)
     dense = table.reshape(b, s + v, -1)[:, :s].reshape(b, d, h, w, -1)
     return dense[..., :-1], dense[..., -1:]
 
 
-def chain_flags(c, use_set=False):
+def chain_flags(c, use_set=False, sorted_flag=True):
     def factory(n):
         def run(x, coords, mask):
             def body(cr, _):
-                dense, _ = _scatter_sorted(coords, mask, cr, DIMS, use_set)
+                dense, _ = _scatter_sorted(coords, mask, cr, DIMS, use_set,
+                                           sorted_flag)
                 nxt = cr + (dense[:, 0, 0, 0, :] * 1e-9
                             )[:, None, :].astype(cr.dtype)
                 return nxt, None
@@ -113,6 +115,11 @@ CASES = {
     "add64_base": (chain_base(64), 64),
     "add64_flags": (chain_flags(64), 64),
     "set64_flags": (chain_flags(64, use_set=True), 64),
+    # unique-only: no sortedness precondition — robust to out-of-bounds
+    # rows redirected to the dump region mid-sequence
+    "add4_uniq": (chain_flags(3, sorted_flag=False), 3),
+    "set64_uniq": (chain_flags(64, use_set=True, sorted_flag=False), 64),
+    "add64_uniq": (chain_flags(64, sorted_flag=False), 64),
 }
 
 

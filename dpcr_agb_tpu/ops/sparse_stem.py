@@ -82,13 +82,26 @@ def scatter_to_dense_batch(coords, mask, feats, dims):
     return _scatter_to_dense_impl(coords, mask, feats, dims)
 
 
+# DPCR_SCATTER: "flags" tells XLA the scatter rows are UNIQUE (voxelized
+# coords are unique per sample — transforms/core.unique_int_rows — and
+# invalid rows get DISTINCT per-sample dump slots), skipping the
+# read-modify-write dedup machinery: set64 22.2 vs add64 29.2 ms at the
+# bench shape (docs/experiments/round3/exp_scatter_flags.py). "legacy" is
+# the round-2 .at[].add form.
+SCATTER_MODE = os.environ.get("DPCR_SCATTER", "legacy")
+
+
 def _scatter_to_dense_impl(coords: jnp.ndarray, mask: jnp.ndarray,
                            feats: jnp.ndarray, dims: Sequence[int],
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batch-flattened scatter_to_dense: one flat row scatter instead of a
     vmapped per-sample one (same ~2x row-rate rule as gathers; the vmapped
     form measured 14 ms at bs16 for the Cin=3 stem scatter).
-    [B,V,3]+[B,V]+[B,V,C] -> dense [B,D,H,W,C] + occupancy [B,D,H,W,1]."""
+    [B,V,3]+[B,V]+[B,V,C] -> dense [B,D,H,W,C] + occupancy [B,D,H,W,1].
+
+    Duplicate VALID coords sum in legacy mode; under SCATTER_MODE="flags"
+    they are undefined (unique_indices=True) — voxelization upstream
+    guarantees uniqueness on every production path."""
     d, h, w = dims
     b, v = mask.shape
     s = d * h * w
@@ -97,11 +110,29 @@ def _scatter_to_dense_impl(coords: jnp.ndarray, mask: jnp.ndarray,
                         axis=-1)
     valid = mask & in_bounds
     flat_idx = (c[..., 0] * h + c[..., 1]) * w + c[..., 2]
-    flat_idx = flat_idx + (jnp.arange(b, dtype=flat_idx.dtype) * s)[:, None]
-    flat_idx = jnp.where(valid, flat_idx, b * s)                # dump row
     payload = jnp.concatenate(
         [jnp.where(valid[..., None], feats, 0),
          valid[..., None].astype(feats.dtype)], axis=-1)
+    if SCATTER_MODE == "flags":
+        # per-sample layout [s + V]: invalid row i dumps to slot s+i, so
+        # ALL indices are unique (and sorted whenever the sample's valid
+        # coords are sorted with padding at the tail, the voxelizer's
+        # output order)
+        dump = s + jnp.broadcast_to(
+            jnp.arange(v, dtype=flat_idx.dtype), (b, v))
+        idx = jnp.where(valid, flat_idx, dump)
+        idx = idx + (jnp.arange(b, dtype=idx.dtype) * (s + v))[:, None]
+        table = jnp.zeros((b * (s + v), payload.shape[-1]), feats.dtype)
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0,))
+        table = jax.lax.scatter(
+            table, idx.reshape(-1, 1), payload.reshape(b * v, -1), dn,
+            indices_are_sorted=False, unique_indices=True)
+        dense = table.reshape(b, s + v, -1)[:, :s].reshape(b, d, h, w, -1)
+        return dense[..., :-1], dense[..., -1:]
+    flat_idx = flat_idx + (jnp.arange(b, dtype=flat_idx.dtype) * s)[:, None]
+    flat_idx = jnp.where(valid, flat_idx, b * s)                # dump row
     table = jnp.zeros((b * s + 1, payload.shape[-1]), feats.dtype)
     table = table.at[flat_idx.reshape(-1)].add(
         payload.reshape(b * v, -1), mode="drop")
@@ -260,6 +291,15 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
     b, v = mask.shape
     itemsize = np.dtype(compute_dtype).itemsize
     k = kernel_size
+    if STEM_MODE == "knockout":
+        # MEASUREMENT-ONLY standin (center tap): kills the scatter/fold/
+        # gather pipeline but keeps shapes, masking, and dW alive so the
+        # whole-step marginal cost of the real stem = bench(real) -
+        # bench(knockout). Never a production mode — wrong math by design.
+        y = jnp.dot(feats.astype(compute_dtype),
+                    weights[k ** 3 // 2].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        return jnp.where(mask[..., None], y, 0.0).astype(compute_dtype)
     if layout.BATCH_LOCAL:
         # group size from the true per-device batch (b=1 inside the vmap
         # lane would overestimate the budget headroom)
@@ -596,6 +636,22 @@ def pooled_rows_fused(coords, mask, h_rows, dims):
 
     Returns (pooled [B,d1,h1,w1,C], occ_l [B,d1,h1,w1,1] — occupancy is
     gradient-free, matching occupancy_pool's stop_gradient)."""
+    from .dense_grid import POOL_FWD_MODE
+    if POOL_FWD_MODE == "knockout":
+        # MEASUREMENT-ONLY standin (bypasses the custom VJP entirely):
+        # broadcast each sample's row mean into the L1 volume — no
+        # scatter, no window max, plain-autodiff backward. Keeps shapes
+        # and a live grad path to h_rows so the whole-step marginal cost
+        # of the real pool = bench(real) - bench(knockout). Wrong math by
+        # design; never a production mode.
+        d, h, w = dims
+        d1, h1, w1 = -(-d // 2), -(-h // 2), -(-w // 2)
+        mean = jnp.mean(h_rows, axis=1)                     # [B,C]
+        y = jnp.broadcast_to(mean[:, None, None, None, :],
+                             (mask.shape[0], d1, h1, w1, h_rows.shape[-1]))
+        occ_l = jax.lax.stop_gradient(
+            jnp.ones((mask.shape[0], d1, h1, w1, 1), h_rows.dtype))
+        return y, occ_l
     if layout.BATCH_LOCAL:
         return _per_sample(_pooled_rows_fused, 3, coords, mask, h_rows,
                            tuple(dims))

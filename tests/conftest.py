@@ -17,6 +17,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the fast gate is dominated by CPU compiles of
+# whole-model parity programs (45 s for one SENet14 forward); executables
+# are content-addressed by HLO hash, so warm runs skip them safely. Opt
+# out with DPCR_TEST_NO_CACHE=1 (e.g. to measure true compile cost).
+if not os.environ.get("DPCR_TEST_NO_CACHE"):
+    _cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except OSError:
+        pass  # read-only checkout: compile uncached
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

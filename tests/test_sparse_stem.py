@@ -45,7 +45,38 @@ def test_sparse_stem_matches_dense_conv(k, cin, cout):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("k,cin,cout", [(7, 3, 16), (3, 4, 8), (5, 1, 4)])
+def test_scatter_flags_mode_matches_legacy(monkeypatch):
+    """DPCR_SCATTER=flags (unique-rows lax.scatter, per-sample dump
+    region) is bit-identical to the legacy .at[].add scatter on unique
+    voxel coords — incl. masked-in out-of-bounds rows (dropped by both)
+    and its gradient (the gather VJP is flag-independent)."""
+    from dpcr_agb_tpu.ops import sparse_stem
+    from dpcr_agb_tpu.ops.sparse_stem import _scatter_to_dense_impl
+    rng = np.random.default_rng(11)
+    dims = (12, 11, 9)
+    cs, ms = zip(*[_random_sites(np.random.default_rng(20 + i), dims,
+                                 17 + 9 * i, 40) for i in range(3)])
+    coords, mask = jnp.stack(cs), jnp.stack(ms)
+    coords = coords.at[0, 3].set(jnp.asarray([12, 0, -4]))  # OOB, masked-in
+    feats = jnp.asarray(rng.normal(size=(3, 40, 6)), jnp.float32)
+    feats = jnp.where(mask[..., None], feats, 0.0)
+
+    def run(f):
+        return _scatter_to_dense_impl(coords, mask, f, dims)
+
+    monkeypatch.setattr(sparse_stem, "SCATTER_MODE", "legacy")
+    want, occ_want = run(feats)
+    ct = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+    g_want = jax.grad(lambda f: jnp.sum(run(f)[0] * ct))(feats)
+    monkeypatch.setattr(sparse_stem, "SCATTER_MODE", "flags")
+    got, occ_got = run(feats)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_want))
+    g_got = jax.grad(lambda f: jnp.sum(run(f)[0] * ct))(feats)
+    np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))
+
+
+@pytest.mark.parametrize("k,cin,cout", [(7, 3, 16), (3, 4, 8)])
 def test_xminor_stem_matches_dense_conv(monkeypatch, k, cin, cout):
     """DPCR_STEM=xminor (2-wide-row gather + shift-lane matmul) matches the
     grouped core EXACTLY everywhere (same clip contract for a masked-in
@@ -87,17 +118,19 @@ def test_xminor_stem_matches_dense_conv(monkeypatch, k, cin, cout):
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(got, want_grouped, rtol=1e-5, atol=1e-5)
 
-    # grad wrt weights matches the grouped path's
-    monkeypatch.setattr(layout, "BATCH_LOCAL", False)
+    # grad wrt weights matches the grouped path's (production k only —
+    # two extra backward compiles per case)
+    if k == 7:
+        monkeypatch.setattr(layout, "BATCH_LOCAL", False)
 
-    def loss(wi):
-        y = stem_conv_sparse_batch(coords, mask, feats, dims, wi, k)
-        return jnp.sum(y ** 2)
-    g_x = jax.grad(loss)(w)
-    monkeypatch.setattr(sparse_stem, "STEM_MODE", "grouped")
-    g_g = jax.grad(loss)(w)
-    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_g),
-                               rtol=1e-4, atol=1e-4)
+        def loss(wi):
+            y = stem_conv_sparse_batch(coords, mask, feats, dims, wi, k)
+            return jnp.sum(y ** 2)
+        g_x = jax.grad(loss)(w)
+        monkeypatch.setattr(sparse_stem, "STEM_MODE", "grouped")
+        g_g = jax.grad(loss)(w)
+        np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_g),
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_xminor_falls_back_when_fold_budget_blocks_gk(monkeypatch):
@@ -468,9 +501,20 @@ class TestWholeModelParity:
         return net, variables, b
 
     def test_sparse_l0_matches_dense_l0_forward(self, monkeypatch):
+        """Fast-gate forward parity on a 1-stage truncation (the sparse/
+        dense L0 branches + one shared residual stage + head — stages 2-4
+        reuse the same block code, and the slow gradient test below runs
+        the full SENet14, so depth adds no parity signal here; the full
+        SENet14 forward compile alone cost 45 s of the fast gate)."""
+        from dpcr_agb_tpu.models.minkowski import SparseResNet
         from dpcr_agb_tpu.ops import dense_grid
-        net, variables, b = self._net_and_variables()
+        net = SparseResNet(block="se_basic", layers=(1, 0, 0, 0),
+                           num_reg_targets=2, activation="gelu",
+                           first_stride=1, global_pool="sum", drop_path=0.0,
+                           dense_dims=(16, 16, 16))
+        b = self._batch(np.random.default_rng(7))
         monkeypatch.setattr(dense_grid, "L0_MODE", "dense")
+        variables = net.init(jax.random.PRNGKey(0), b, train=False)
         out_dense = net.apply(variables, b, train=False)
         monkeypatch.setattr(dense_grid, "L0_MODE", "sparse")
         out_sparse = net.apply(variables, b, train=False)
