@@ -158,3 +158,47 @@ def collate(samples: List[dict], spec: CollateSpec,
     return Batch(pos=pos, x=x, mask=mask, y_reg=y_reg, y_reg_mask=y_reg_mask,
                  area_idx=area_idx, label_idx=label_idx, is_double=is_double,
                  valid=valid, coords=coords, stats=stats)
+
+
+def normalize_sparse_rows(batch: "Batch", dims: Sequence[int]) -> "Batch":
+    """Host-side row normalization for the dense-grid sparse-L0 path: drop
+    out-of-volume voxels (the device scatters drop them anyway — reference
+    semantics: the dense MinkowskiEngine tensor never sees them), then sort
+    each sample's valid rows by flat grid key (x-major, z-minor) with all
+    padding compacted to the tail.
+
+    This establishes the layout contract the device scatters exploit under
+    DPCR_SCATTER="sorted": per-sample row indices strictly increasing and
+    unique (`lax.scatter(indices_are_sorted=True, unique_indices=True)`
+    skips XLA's read-modify-write dedup machinery — 22.2 vs 29.2 ms for the
+    64ch stem scatter at the bs16 bench shape,
+    docs/experiments/round3/exp_scatter_flags.py). Uniqueness is the
+    voxelizer's guarantee (transforms/core.unique_int_rows); violations are
+    detected here and raised rather than silently producing undefined
+    scatter results. ~1 ms/batch of numpy at the bs16/16k shape, amortized
+    by the loader's prefetch threads."""
+    pos = np.asarray(batch.pos)
+    x = np.asarray(batch.x)
+    mask = np.asarray(batch.mask)
+    coords = np.asarray(batch.coords)
+    d, h, w = (int(v) for v in dims)
+    c = coords.astype(np.int64)
+    in_b = ((c >= 0) & (c < np.array([d, h, w], np.int64))).all(-1)
+    ok = mask & in_b
+    key = (c[..., 0] * h + c[..., 1]) * w + c[..., 2]
+    key = np.where(ok, key, np.iinfo(np.int64).max)
+    order = np.argsort(key, axis=1, kind="stable")
+    skey = np.take_along_axis(key, order, axis=1)
+    mask2 = np.take_along_axis(ok, order, axis=1)
+    if bool((
+            (skey[:, 1:] == skey[:, :-1]) & mask2[:, 1:]).any()):
+        raise ValueError(
+            "duplicate voxel coords within a sample — upstream voxelization "
+            "must produce unique rows (GridSampling3D quantize_coords)")
+    coords2 = np.take_along_axis(coords, order[..., None], axis=1)
+    coords2[~mask2] = PAD_COORD
+    return dataclasses.replace(
+        batch,
+        pos=np.take_along_axis(pos, order[..., None], axis=1),
+        x=np.take_along_axis(x, order[..., None], axis=1),
+        mask=mask2, coords=coords2)

@@ -89,8 +89,12 @@ def make_post_collate(net) -> Optional[Callable]:
             buckets = sorted({min(b, z_max_dim)
                               for b in (48, 64, 80, z_max_dim)})
 
+            dxy = net.dense_dims[:2]
+
             def post_collate(batch):
                 import jax as _jax
+
+                from ..data.batch import normalize_sparse_rows
                 if _jax.process_count() > 1:
                     # the bucket must be identical on every host (same
                     # compiled program) but depends on the LOCAL batch's
@@ -102,6 +106,10 @@ def make_post_collate(net) -> Optional[Callable]:
                     z = coords[..., 2]
                     z_need = int(z[mask].max()) + 1 if mask.any() else 1
                     zb = next((b for b in buckets if b >= z_need), z_max_dim)
+                # row-layout contract for the device scatters (sorted,
+                # unique, in-volume, padding at tail): see
+                # data/batch.normalize_sparse_rows
+                batch = normalize_sparse_rows(batch, (*dxy, zb))
                 return _dc.replace(
                     batch, aux={"zcells": _np.zeros(zb, _np.int8)})
 

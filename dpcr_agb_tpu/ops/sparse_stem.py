@@ -85,9 +85,14 @@ def scatter_to_dense_batch(coords, mask, feats, dims):
 # DPCR_SCATTER: "flags" tells XLA the scatter rows are UNIQUE (voxelized
 # coords are unique per sample — transforms/core.unique_int_rows — and
 # invalid rows get DISTINCT per-sample dump slots), skipping the
-# read-modify-write dedup machinery: set64 22.2 vs add64 29.2 ms at the
-# bench shape (docs/experiments/round3/exp_scatter_flags.py). "legacy" is
-# the round-2 .at[].add form.
+# read-modify-write dedup machinery. "sorted" additionally claims
+# indices_are_sorted — ONLY valid under the loader's row-layout contract
+# (data/batch.normalize_sparse_rows: per-sample valid rows sorted by flat
+# key, in-volume, unique, padding at tail — established by the dense-path
+# post_collate on every production path; measured 22.2 (sorted) vs 37.3
+# (unique-only) vs 29.2 (legacy add) ms for the 64ch stem scatter,
+# docs/experiments/round3/exp_scatter_flags.py + sweep4). "legacy" is the
+# round-2 .at[].add form and assumes nothing.
 SCATTER_MODE = os.environ.get("DPCR_SCATTER", "legacy")
 
 
@@ -113,11 +118,12 @@ def _scatter_to_dense_impl(coords: jnp.ndarray, mask: jnp.ndarray,
     payload = jnp.concatenate(
         [jnp.where(valid[..., None], feats, 0),
          valid[..., None].astype(feats.dtype)], axis=-1)
-    if SCATTER_MODE == "flags":
+    if SCATTER_MODE in ("flags", "sorted"):
         # per-sample layout [s + V]: invalid row i dumps to slot s+i, so
-        # ALL indices are unique (and sorted whenever the sample's valid
-        # coords are sorted with padding at the tail, the voxelizer's
-        # output order)
+        # ALL indices are unique, and under the normalize_sparse_rows
+        # contract (valid rows sorted with padding at the tail, no
+        # mid-sequence OOB) also globally sorted — which only the "sorted"
+        # mode promises to XLA
         dump = s + jnp.broadcast_to(
             jnp.arange(v, dtype=flat_idx.dtype), (b, v))
         idx = jnp.where(valid, flat_idx, dump)
@@ -128,7 +134,8 @@ def _scatter_to_dense_impl(coords: jnp.ndarray, mask: jnp.ndarray,
             scatter_dims_to_operand_dims=(0,))
         table = jax.lax.scatter(
             table, idx.reshape(-1, 1), payload.reshape(b * v, -1), dn,
-            indices_are_sorted=False, unique_indices=True)
+            indices_are_sorted=SCATTER_MODE == "sorted",
+            unique_indices=True)
         dense = table.reshape(b, s + v, -1)[:, :s].reshape(b, d, h, w, -1)
         return dense[..., :-1], dense[..., -1:]
     flat_idx = flat_idx + (jnp.arange(b, dtype=flat_idx.dtype) * s)[:, None]
@@ -679,6 +686,19 @@ def _pooled_rows_fwd(coords, mask, h_rows, dims):
     return (y, occ_l), (coords, mask, h_rows, y, occ_l)
 
 
+# DPCR_POOL_BWD_GATHER: how the fused pool VJP fetches each row's 8
+# parent (y, ct) cells. "slots8" (round-3 initial form) gathers 8 narrow
+# rows per site = 2.05M rows at bs16; "cube" exploits that the 8 parents
+# are a 2x2x2 block of ADJACENT L1 cells at corner coords//2, so an
+# overlap-folded table (8 shifted concats — pure bandwidth, ~2.5 GB
+# transient at bs16) turns the fetch into ONE wide row per site = 256k
+# rows. HBM gathers are row-count-bound (~8-22 ns/row regardless of
+# width, module docstring), so cube trades ~6 ms of streaming for ~20 ms
+# of row-rate. Identical math: junk cells (dup/OOB slots) are masked by
+# the same `valid` the slots8 form uses.
+POOL_BWD_GATHER = os.environ.get("DPCR_POOL_BWD_GATHER", "slots8")
+
+
 def _pooled_rows_bwd(dims, res, cts):
     coords, mask, h_rows, y, occ_l = res
     ct_y, _ = cts                      # occupancy output is gradient-free
@@ -686,9 +706,33 @@ def _pooled_rows_bwd(dims, res, cts):
     c = h_rows.shape[-1]
     ctm = jnp.where(occ_l > 0, ct_y, 0).astype(y.dtype)
     flat, valid, s1 = _pool_parents(coords, mask, dims)
-    tab = jnp.concatenate([y, ctm], axis=-1).reshape(b * s1, 2 * c)
-    tab = jnp.concatenate([tab, jnp.zeros((1, 2 * c), tab.dtype)], axis=0)
-    g = batched_rows(tab, flat)                             # [B,V,8,2C]
+    if POOL_BWD_GATHER == "cube":
+        d, h, w = dims
+        d1, h1, w1 = -(-d // 2), -(-h // 2), -(-w // 2)
+        tab = jnp.concatenate([y, ctm], axis=-1)        # [B,d1,h1,w1,2C]
+        tp = jnp.pad(tab, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
+        # slot `bits` (bit a <-> axis a, set = hi parent) reads cell
+        # lo + (bit0,bit1,bit2); hi==lo slots read a junk neighbor that
+        # `valid` masks (they are exactly the dup-masked slots)
+        cube = jnp.concatenate(
+            [tp[:, (bits & 1):(bits & 1) + d1,
+                ((bits >> 1) & 1):((bits >> 1) & 1) + h1,
+                ((bits >> 2) & 1):((bits >> 2) & 1) + w1]
+             for bits in range(8)], axis=-1)            # [...,16C]
+        # keep the folded table materialized: fusing the concat into the
+        # gather would decompose it back into 8 narrow row-gathers
+        cube = jax.lax.optimization_barrier(cube)
+        cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+        lo = cc // 2
+        base = (lo[..., 0] * h1 + lo[..., 1]) * w1 + lo[..., 2]
+        base = base + (jnp.arange(b, dtype=base.dtype) * s1)[:, None]
+        g = batched_rows(cube.reshape(b * s1, 16 * c), base)
+        g = g.reshape(b, v, 8, 2 * c)
+    else:
+        tab = jnp.concatenate([y, ctm], axis=-1).reshape(b * s1, 2 * c)
+        tab = jnp.concatenate([tab, jnp.zeros((1, 2 * c), tab.dtype)],
+                              axis=0)
+        g = batched_rows(tab, flat)                         # [B,V,8,2C]
     eq = (g[..., :c] == h_rows[:, :, None, :]) & valid[..., None]
     dx = jnp.sum(jnp.where(eq, g[..., c:].astype(jnp.float32), 0.0), axis=2)
     dx = jnp.where(mask[..., None], dx, 0.0).astype(h_rows.dtype)

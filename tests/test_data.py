@@ -509,3 +509,82 @@ def test_loader_put_fn_places_batches_on_device(synth_root):
         assert isinstance(db.pos, jax.Array)
         np.testing.assert_array_equal(np.asarray(db.pos), hb.pos)
         np.testing.assert_array_equal(np.asarray(db.mask), hb.mask)
+
+
+def test_normalize_sparse_rows(rng):
+    """Row-layout normalization (data/batch.normalize_sparse_rows): valid
+    rows sorted by flat grid key with pos/x permuted consistently,
+    out-of-volume rows dropped, padding (PAD_COORD) at the tail; duplicate
+    voxel coords raise."""
+    from dpcr_agb_tpu.data.batch import PAD_COORD, normalize_sparse_rows
+    dims = (12, 11, 9)
+    n, v = 30, 40
+    flat = np.random.default_rng(5).choice(12 * 11 * 9, n, replace=False)
+    coords = np.stack([flat // 99, (flat // 9) % 11, flat % 9], 1)
+    perm = np.random.default_rng(6).permutation(n)         # unsorted
+    coords = coords[perm].astype(np.int32)
+    coords[3] = [12, 0, -4]                                # OOB, masked-in
+    cfull = np.full((1, v, 3), PAD_COORD, np.int32)
+    cfull[0, :n] = coords
+    mask = np.zeros((1, v), bool)
+    mask[0, :n] = True
+    pos = rng.random((1, v, 3)).astype(np.float32)
+    x = rng.random((1, v, 5)).astype(np.float32)
+    b = Batch(pos=pos, x=x, mask=mask, y_reg=np.zeros((1, 2), np.float32),
+              y_reg_mask=np.ones((1, 2), bool), area_idx=np.zeros(1, np.int32),
+              label_idx=np.zeros(1, np.int64), is_double=np.zeros(1, bool),
+              coords=cfull)
+    out = normalize_sparse_rows(b, dims)
+    m2 = np.asarray(out.mask[0])
+    assert m2.sum() == n - 1                               # OOB row dropped
+    assert not m2[n - 1:].any()                            # compacted
+    c2 = np.asarray(out.coords[0])
+    key = (c2[m2][:, 0] * 11 + c2[m2][:, 1]) * 9 + c2[m2][:, 2]
+    assert (np.diff(key) > 0).all()                        # strictly sorted
+    assert (c2[~m2] == PAD_COORD).all()
+    # pos/x rode along with their rows
+    old_of = {tuple(coords[i]): i for i in range(n)}
+    for j in np.nonzero(m2)[0]:
+        i = old_of[tuple(c2[j])]
+        np.testing.assert_array_equal(np.asarray(out.x[0, j]), x[0, i])
+        np.testing.assert_array_equal(np.asarray(out.pos[0, j]), pos[0, i])
+    # duplicates raise loudly
+    cdup = cfull.copy()
+    cdup[0, 1] = cdup[0, 0]
+    with pytest.raises(ValueError, match="duplicate voxel"):
+        normalize_sparse_rows(
+            __import__("dataclasses").replace(b, coords=cdup), dims)
+
+
+def test_post_collate_establishes_sorted_contract(rng):
+    """The dense-path post_collate (models/factory.make_post_collate)
+    normalizes rows even when upstream transforms (RandomCoordsFlip)
+    de-sort the voxelizer's output — the DPCR_SCATTER=sorted contract."""
+    import dpcr_agb_tpu.transforms as T
+    from __graft_entry__ import _flagship
+    from dpcr_agb_tpu.models.factory import make_post_collate
+    tr = np.random.default_rng(3)
+    samples = []
+    for i in range(3):
+        s = {"pos": tr.uniform(0, 1, (500, 3)).astype(np.float32),
+             "y_reg": np.array([1.0, 2.0], np.float32)}
+        s["x"] = np.ones((500, 3), np.float32)
+        s = T.GridSampling3D(size=0.0125, quantize_coords=True,
+                             mode="mean")(tr, s)
+        s = T.RandomCoordsFlip(ignored_axis="z", p=1.0)(tr, s)
+        s["x"] = np.ones((len(s["coords"]), 3), np.float32)
+        samples.append(s)
+    b = collate(samples, CollateSpec(conv_type="sparse", use_coords=True,
+                                     min_bucket=512))
+    # flips de-sorted the rows
+    net = _flagship()
+    post = make_post_collate(net)
+    out = post(b)
+    d, h, w = net.dense_dims[0], net.dense_dims[1], len(out.aux["zcells"])
+    for i in range(3):
+        m = np.asarray(out.mask[i])
+        c = np.asarray(out.coords[i])[m].astype(np.int64)
+        assert ((c >= 0) & (c < np.array([d, h, w]))).all()
+        key = (c[:, 0] * h + c[:, 1]) * w + c[:, 2]
+        assert (np.diff(key) > 0).all()
+        assert not m[int(m.sum()):].any()

@@ -76,6 +76,42 @@ def test_scatter_flags_mode_matches_legacy(monkeypatch):
     np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))
 
 
+def test_scatter_sorted_mode_matches_legacy(monkeypatch):
+    """DPCR_SCATTER=sorted (indices_are_sorted + unique) matches legacy on
+    contract-conforming input: valid rows sorted by flat key, in-volume,
+    unique, padding at the tail (data/batch.normalize_sparse_rows)."""
+    from dpcr_agb_tpu.ops import sparse_stem
+    from dpcr_agb_tpu.ops.sparse_stem import _scatter_to_dense_impl
+    rng = np.random.default_rng(13)
+    dims = (12, 11, 9)
+    cs, ms = [], []
+    for i in range(3):
+        c, m = _random_sites(np.random.default_rng(30 + i), dims,
+                             17 + 9 * i, 40)
+        c_np, m_np = np.asarray(c).astype(np.int64), np.asarray(m)
+        key = (c_np[:, 0] * 11 + c_np[:, 1]) * 9 + c_np[:, 2]
+        key[~m_np] = np.iinfo(np.int64).max
+        order = np.argsort(key, kind="stable")
+        cs.append(c_np[order]), ms.append(m_np[order])
+    coords, mask = jnp.asarray(np.stack(cs)), jnp.asarray(np.stack(ms))
+    feats = jnp.asarray(rng.normal(size=(3, 40, 6)), jnp.float32)
+    feats = jnp.where(mask[..., None], feats, 0.0)
+
+    def run(f):
+        return _scatter_to_dense_impl(coords, mask, f, dims)
+
+    monkeypatch.setattr(sparse_stem, "SCATTER_MODE", "legacy")
+    want, occ_want = run(feats)
+    ct = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+    g_want = jax.grad(lambda f: jnp.sum(run(f)[0] * ct))(feats)
+    monkeypatch.setattr(sparse_stem, "SCATTER_MODE", "sorted")
+    got, occ_got = run(feats)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_want))
+    g_got = jax.grad(lambda f: jnp.sum(run(f)[0] * ct))(feats)
+    np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))
+
+
 @pytest.mark.parametrize("k,cin,cout", [(7, 3, 16), (3, 4, 8)])
 def test_xminor_stem_matches_dense_conv(monkeypatch, k, cin, cout):
     """DPCR_STEM=xminor (2-wide-row gather + shift-lane matmul) matches the
@@ -289,18 +325,23 @@ def test_scatter_max_pool_matches_dense():
                                rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("fwd_mode", ["dense", "separable", "scattermax"])
-def test_pooled_rows_fused_matches_dense(monkeypatch, fwd_mode):
+@pytest.mark.parametrize("fwd_mode,bwd_gather", [
+    ("dense", "slots8"), ("separable", "slots8"), ("scattermax", "slots8"),
+    ("dense", "cube"), ("scattermax", "cube")])
+def test_pooled_rows_fused_matches_dense(monkeypatch, fwd_mode, bwd_gather):
     """pooled_rows_fused forward is value-identical to scatter-to-dense +
     occupancy_pool + dense_max_pool under all three DPCR_POOL_FWD flavors
     (occupancy compared as >0 — scattermax reports binary occupancy where
     occupancy_pool reports the window max count), and its row-space custom
     backward matches the select_and_scatter gradient exactly when window
     values are distinct (random normals — ties are measure-zero; the tie
-    contract is documented on the op). Checked flat and BATCH_LOCAL."""
-    from dpcr_agb_tpu.ops import dense_grid, layout
+    contract is documented on the op) under both DPCR_POOL_BWD_GATHER
+    forms (8 narrow rows / one overlap-folded cube row). Checked flat and
+    BATCH_LOCAL."""
+    from dpcr_agb_tpu.ops import dense_grid, layout, sparse_stem
     from dpcr_agb_tpu.ops.sparse_stem import pooled_rows_fused
     monkeypatch.setattr(dense_grid, "POOL_FWD_MODE", fwd_mode)
+    monkeypatch.setattr(sparse_stem, "POOL_BWD_GATHER", bwd_gather)
     rng = np.random.default_rng(7)
     dims = (11, 10, 9)
     cs, ms, fs = [], [], []
