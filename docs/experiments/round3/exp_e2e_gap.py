@@ -94,7 +94,8 @@ def main():
     print(f"device_preput: {BS * N_STEPS / t_pre:7.2f} plots/s "
           f"({1e3 * t_pre / N_STEPS:.1f} ms/step)", flush=True)
 
-    # 4) h2d_only: device_put + block, timed alone
+    # 4) h2d_only: device_put + block, timed alone. device_put
+    # wire-compacts (data/batch.encode_wire) — report raw vs wire bytes.
     t0 = time.perf_counter()
     for i in range(N_STEPS):
         placed = runner.device_put(batches[i])
@@ -102,9 +103,10 @@ def main():
     t_h2d = time.perf_counter() - t0
     nbytes = sum(np.asarray(l).nbytes
                  for l in jax.tree_util.tree_leaves(batches[0]))
+    wbytes = sum(l.nbytes for l in jax.tree_util.tree_leaves(placed))
     print(f"h2d_only:      {1e3 * t_h2d / N_STEPS:7.1f} ms/batch "
-          f"({nbytes / 1e6:.1f} MB/batch -> "
-          f"{nbytes * N_STEPS / t_h2d / 1e6:.0f} MB/s)", flush=True)
+          f"(raw {nbytes / 1e6:.1f} -> wire {wbytes / 1e6:.1f} MB/batch "
+          f"-> {wbytes * N_STEPS / t_h2d / 1e6:.0f} MB/s)", flush=True)
 
     # 5) loader_only: host pipeline rate over the synthetic dataset
     import tempfile

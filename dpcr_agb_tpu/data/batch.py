@@ -160,6 +160,40 @@ def collate(samples: List[dict], spec: CollateSpec,
                  valid=valid, coords=coords, stats=stats)
 
 
+def encode_wire(batch: "Batch", drop_pos: bool = False,
+                x_dtype=None) -> "Batch":
+    """Shrink the host->device payload of a Batch without changing step
+    math (decoded by training/step.decode_wire inside the jit):
+
+      * coords int32 -> int16 on the wire. Every consumer only ever tests
+        coords against [0, dims) with dims << 32767, so clipping to the
+        int16 range maps any out-of-volume value (incl. PAD_COORD) to a
+        value that is STILL out of volume — bit-identical drop semantics
+        after the in-jit upcast.
+      * x -> x_dtype (the model's compute dtype, e.g. bf16). Only valid
+        when the model's first use is `x.astype(dtype)` with the same
+        dtype: bf16->f32->bf16 round-trips exactly, so the step output is
+        bit-identical to shipping f32.
+      * pos dropped when the model never reads it (SparseResNet paths).
+
+    At the bs16/16k sparse bench shape this cuts the batch from 9.7 to
+    3.4 MB — on a remote-TPU transport (20-35 MB/s measured,
+    docs/experiments/round3/sweep4.log h2d_only) H2D is the e2e
+    bottleneck, and on real hardware it is still PCIe traffic saved."""
+    repl = {}
+    if batch.coords is not None and \
+            np.asarray(batch.coords).dtype == np.int32:
+        c = np.asarray(batch.coords)
+        repl["coords"] = np.clip(c, -2 ** 15, 2 ** 15 - 1).astype(np.int16)
+    if x_dtype is not None and batch.x is not None:
+        x = np.asarray(batch.x)
+        if x.dtype != x_dtype:
+            repl["x"] = x.astype(x_dtype)
+    if drop_pos and batch.pos is not None:
+        repl["pos"] = None
+    return dataclasses.replace(batch, **repl) if repl else batch
+
+
 def normalize_sparse_rows(batch: "Batch", dims: Sequence[int]) -> "Batch":
     """Host-side row normalization for the dense-grid sparse-L0 path: drop
     out-of-volume voxels (the device scatters drop them anyway — reference

@@ -696,7 +696,14 @@ def _pooled_rows_fwd(coords, mask, h_rows, dims):
 # width, module docstring), so cube trades ~6 ms of streaming for ~20 ms
 # of row-rate. Identical math: junk cells (dup/OOB slots) are masked by
 # the same `valid` the slots8 form uses.
-POOL_BWD_GATHER = os.environ.get("DPCR_POOL_BWD_GATHER", "slots8")
+#
+# "auto" (default) picks by the traced batch extent: slots8 wins at bs16
+# (72.33 vs 69.63 plots/s) but COLLAPSES at bs32 (36.31 vs cube's 68.81 —
+# its [B,V,8,2C] f32 intermediate leaves the HBM working set; sweep4/5
+# A/Bs, docs/experiments/round3/README.md), so auto = cube when the
+# per-call batch exceeds 16. BATCH_LOCAL (mesh) calls see b=1 per vmap
+# lane and resolve to slots8.
+POOL_BWD_GATHER = os.environ.get("DPCR_POOL_BWD_GATHER", "auto")
 
 
 def _pooled_rows_bwd(dims, res, cts):
@@ -706,7 +713,10 @@ def _pooled_rows_bwd(dims, res, cts):
     c = h_rows.shape[-1]
     ctm = jnp.where(occ_l > 0, ct_y, 0).astype(y.dtype)
     flat, valid, s1 = _pool_parents(coords, mask, dims)
-    if POOL_BWD_GATHER == "cube":
+    mode = POOL_BWD_GATHER
+    if mode == "auto":
+        mode = "cube" if b > 16 else "slots8"
+    if mode == "cube":
         d, h, w = dims
         d1, h1, w1 = -(-d // 2), -(-h // 2), -(-w // 2)
         tab = jnp.concatenate([y, ctm], axis=-1)        # [B,d1,h1,w1,2C]

@@ -12,6 +12,7 @@ inserts gradient psums over ICI. BatchNorm moments reduce over the global
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Callable, Dict, Optional
 
@@ -23,6 +24,18 @@ import optax
 from ..models.base import InstanceSpec, compute_reg_loss, convert_outputs, reg_output
 from ..parallel.mesh import put_global_batch, replicate_sharding
 from .state import TrainState
+
+
+def decode_wire(batch):
+    """Undo data/batch.encode_wire inside the jit (free: fuses into the
+    first consumers). Handles raw batches unchanged, so encoded and
+    unencoded callers share this code path (two jit signatures)."""
+    repl = {}
+    if batch.coords is not None and batch.coords.dtype == jnp.int16:
+        repl["coords"] = batch.coords.astype(jnp.int32)
+    if batch.x is not None and batch.x.dtype != jnp.float32:
+        repl["x"] = batch.x.astype(jnp.float32)
+    return dataclasses.replace(batch, **repl) if repl else batch
 
 
 def _sample_meta(batch) -> Dict[str, Any]:
@@ -74,6 +87,7 @@ def make_train_step(net, spec: InstanceSpec, tx: optax.GradientTransformation,
         return loss, (new_stats, reg_out)
 
     def step(params, batch_stats, opt_state, batch, step_idx):
+        batch = decode_wire(batch)
         # rng derived inside the jit: a host-side fold_in would dispatch an
         # eager device op per step (one transport RTT on remote TPUs)
         dropout_rng = jax.random.fold_in(root_rng, 2 + step_idx)
@@ -105,6 +119,7 @@ def make_eval_step(net, spec: InstanceSpec, mesh=None,
     root_rng = jax.random.PRNGKey(10_000_019)
 
     def step(params, batch_stats, batch, rng_salt):
+        batch = decode_wire(batch)
         dropout_rng = (jax.random.fold_in(root_rng, rng_salt)
                        if enable_dropout or train_mode else None)
         reg_out, new_stats, _ = _forward(
@@ -145,6 +160,15 @@ class StepRunner:
         # layout and re-assert it before every dispatch (_assert_layout).
         self._layout = (self.mesh is not None,
                         self.mesh.devices.size if self.mesh is not None else 1)
+        # wire-compaction policy (device_put): x ships in the model's
+        # compute dtype only when that round-trips exactly through the
+        # model's own `x.astype(dtype)` (bf16); pos ships only to models
+        # that read it (SparseResNet never does — minkowski.py set_input)
+        from ..models.minkowski import SparseResNet
+        sparse_net = isinstance(self.net, SparseResNet)
+        self._wire_x_dtype = jnp.bfloat16 if sparse_net \
+            and getattr(self.net, "dtype", None) == jnp.bfloat16 else None
+        self._wire_drop_pos = sparse_net
         self._assert_layout()
         self._train_step = make_train_step(self.net, self.spec, self.tx,
                                            self.mesh, self.regularizer,
@@ -190,11 +214,25 @@ class StepRunner:
         from ..ops import layout
         layout.set_batch_local(*self._layout)
 
-    def device_put(self, batch):
+    def device_put(self, batch, keep_pos: bool = False):
         """Transfer a host batch to device ahead of dispatch (loader-side
         prefetch, Loader(put_fn=...)): the H2D copy of batch k+1 overlaps
         the device step of batch k. Safe from worker threads — placement
-        only, no tracing."""
+        only, no tracing.
+
+        Host Batch payloads are wire-compacted first (data/batch.encode_wire
+        — int16 coords, compute-dtype x, pos dropped for models that never
+        read it) unless DPCR_WIRE=off; the jitted steps decode in-graph
+        (decode_wire), so the step math is bit-identical. keep_pos=True
+        preserves pos for consumers outside the step (the visualizer's
+        point-cloud exports on eval loaders)."""
+        from ..data.batch import Batch, encode_wire
+        if os.environ.get("DPCR_WIRE", "1") != "0" \
+                and isinstance(batch, Batch) \
+                and not isinstance(batch.mask, jax.Array):
+            batch = encode_wire(
+                batch, drop_pos=self._wire_drop_pos and not keep_pos,
+                x_dtype=self._wire_x_dtype)
         return (put_global_batch(self.mesh, batch)
                 if self.mesh is not None else jax.device_put(batch))
 
@@ -221,7 +259,7 @@ class StepRunner:
             # num_samples drives on_num_sample schedules and is GLOBAL:
             # under multi-host each process sees 1/process_count of the batch
             num_samples=state.num_samples
-            + batch.pos.shape[0] * jax.process_count())
+            + batch.mask.shape[0] * jax.process_count())
         return new_state, out
 
     def evaluate(self, state: TrainState, batch, enable_dropout: bool = False,

@@ -328,12 +328,18 @@ class Trainer:
         # per-batch transfer otherwise sits on the critical path). Single
         # process only: under multi-host the tracker/visualizer read the
         # LOCAL numpy batch, which put_fn would replace with global arrays.
-        put_fn = None
-        if self._n_proc == 1 and \
-                os.environ.get("DPCR_DEVICE_PREFETCH", "1") == "1":
-            put_fn = (lambda b: self.runner.device_put(b))
+        prefetch_on = self._n_proc == 1 and \
+            os.environ.get("DPCR_DEVICE_PREFETCH", "1") == "1"
         self.loaders: Dict[str, Optional[Loader]] = {}
         for split in ("train", "val", "test"):
+            put_fn = None
+            if prefetch_on:
+                # eval loaders keep pos on the wire: the visualizer's
+                # point-cloud exports read batch.pos host-side (wants_pos);
+                # in eval mode the train split is an eval stage too
+                keep_pos = split != "train" or self._eval_mode
+                put_fn = (lambda b, _k=keep_pos:
+                          self.runner.device_put(b, keep_pos=_k))
             ds = self.dataset.datasets.get(split)
             if ds is None or len(ds) == 0:
                 self.loaders[split] = None
