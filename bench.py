@@ -4,9 +4,11 @@
 
 Measures steady-state training throughput (forward + loss + backward +
 AdaBelief update, the full optimize_parameters equivalent) of the flagship
-MSENet14 sparse-voxel model on NFI-shaped synthetic batches: batch 32 plots,
-16000-voxel cap, 3 input channels, 2 regression targets — the paper's
-training configuration (conf/training/nfi/minkowski.yaml: bs 32).
+MSENet14 sparse-voxel model on NFI-shaped synthetic batches: batch 16 plots
+by default (DPCR_BENCH_BS sweeps it; see the in-body note on the single-chip
+HBM bound — the paper's bs32, conf/training/nfi/minkowski.yaml, runs within
+2% of the bs16 per-chip rate since the auto cube pool-bwd gather),
+16000-voxel cap, 3 input channels, 2 regression targets.
 
 vs_baseline: the reference publishes NO throughput numbers (BASELINE.md).
 We normalize against a documented estimate of the reference pipeline on an
