@@ -8,7 +8,7 @@
 #
 # Run ON THE REAL TPU from the repo root:
 #   bash docs/experiments/round3/rehearse_nfi.sh [epochs] [trials]
-set -eu
+set -eu -o pipefail   # tee must not mask the train rc (ADVICE r3)
 cd "$(dirname "$0")/../../.."
 EPOCHS=${1:-4}
 TRIALS=${2:-5}
@@ -17,9 +17,11 @@ LOG=docs/experiments/round3/rehearse_nfi.log
 mkdir -p "$OUT"
 : > "$LOG"
 
-# paper configuration: bs32 (conf/training/nfi/minkowski.yaml); fold
-# chunking keeps the sparse stem at its bs16-equivalent rate (sweep2)
-export DPCR_FOLD_CHUNKS=${DPCR_FOLD_CHUNKS:-2}
+# paper configuration: bs32 (conf/training/nfi/minkowski.yaml). No env
+# pins: fold chunking and the pool-backward cube chunking are derived
+# from the device HBM limit inside ops/sparse_stem.py (round-4 fix for
+# the r3 OOM — the pinned DPCR_FOLD_CHUNKS=2 forced a partial fold
+# group AND ignored the 2x cube-table transient at the NFI z-extent).
 
 T0=$(date +%s)
 python scripts/run_trials.py --trials "$TRIALS" --out "$OUT" \

@@ -17,7 +17,7 @@
 #   P3  KPConv p90 vs p80 accuracy (gates the calibration flip, item 3)
 #   P4  SENet50 + SENet14 control on the spatial generator (item 6),
 #       checkpointed/resumable — runs until its timeout.
-set -u
+set -u -o pipefail   # tee must not mask rc notes (ADVICE r3)
 cd "$(dirname "$0")/../../.."
 LOG=docs/experiments/round3/sweep7.log
 : > "$LOG"
@@ -47,7 +47,10 @@ for pct in 90 80; do
   note "rc=$?"
   python - "$OUT/p$pct/metrics.jsonl" <<'PYEOF' 2>&1 | tee -a "$LOG"
 import json, sys
-rows = [json.loads(l) for l in open(sys.argv[1])]
+try:
+    rows = [json.loads(l) for l in open(sys.argv[1])]
+except OSError:
+    print("NO METRICS (run did not start)"); raise SystemExit
 val = [r for r in rows if r["stage"] == "val"]
 if val:
     best = min(val, key=lambda r: r.get("val_total_BMag_ha_rmse", 1e30))

@@ -46,6 +46,7 @@ pool) 66.5 plots/s vs 56.3 dense at bs16; g=7 69.1.
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Sequence, Tuple
 
@@ -54,6 +55,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import layout
+
+logger = logging.getLogger(__name__)
 
 
 def batched_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -164,10 +167,19 @@ def _fold_z(vol: jnp.ndarray, k: int, pad_value=0) -> jnp.ndarray:
 # into channels, so each site needs only k * ceil(k/g) gathered rows
 # (g=k: 7 rows of 294 B vs 49 rows of 42 B — 7x fewer rows for the same
 # bytes). The folded table costs B*(D+2p)*H2*W*g*k*C bytes of transient
-# HBM; _pick_group picks the largest g under this budget.
-# 3.5 GB admits g=7 at the bs16 bench shape (3.1 GB fold, measured 69.1
-# vs 66.5 plots/s at g=4) while degrading to g=2 at bs32
-FOLD_BYTES_BUDGET = int(os.environ.get("DPCR_FOLD_BYTES", 3_500_000_000))
+# HBM; _pick_group picks the largest g under the budget `_fold_budget()`
+# = DPCR_FOLD_BYTES if set, else 22% of the device HBM limit (= the
+# tuned 3.5 GB at the v5e's 15.75 GiB: admits g=7 at the bs16 bench
+# shape — 3.1 GB fold, measured 69.1 vs 66.5 plots/s at g=4 — while
+# bigger shapes degrade into _auto_chunks chunking, never an OOM).
+FOLD_BYTES_BUDGET = int(os.environ.get("DPCR_FOLD_BYTES", 0))
+
+
+def _fold_budget() -> int:
+    if FOLD_BYTES_BUDGET:
+        return FOLD_BYTES_BUDGET
+    from .membudget import hbm_bytes_limit
+    return int(0.22 * hbm_bytes_limit())
 
 # Process the stem's fold+gather in this many batch sub-chunks (lax.map):
 # the folded table is TRANSIENT, so chunking divides its HBM footprint by
@@ -217,7 +229,7 @@ def _pick_group(k: int, cin: int, dims, b: int, itemsize: int) -> int:
     for g in range(k, 0, -1):
         _, h2 = _fold_geometry(h, k, g)
         nbytes = b * (d + 2 * p) * h2 * w * g * k * cin * itemsize
-        if nbytes <= FOLD_BYTES_BUDGET:
+        if nbytes <= _fold_budget():
             return g
     return 1
 
@@ -319,6 +331,11 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
     chunks = FOLD_CHUNKS
     if chunks == 0:
         chunks = _auto_chunks(k, feats.shape[-1], dims, b, itemsize)
+    logger.info(
+        "stem fold plan: b=%d dims=%s budget=%.2fGB -> chunks=%d g=%d",
+        b, tuple(dims), _fold_budget() / 1e9, chunks,
+        _pick_group(k, feats.shape[-1], dims, b // max(1, chunks),
+                    itemsize))
     # the xminor core NEEDS the full y-fold (g=k); its table is the same
     # size as the grouped g=k table, so the g=k budget check doubles as
     # its feasibility gate — degrade to the grouped path otherwise
@@ -705,17 +722,51 @@ def _pooled_rows_fwd(coords, mask, h_rows, dims):
 # lane and resolve to slots8.
 POOL_BWD_GATHER = os.environ.get("DPCR_POOL_BWD_GATHER", "auto")
 
+# The cube table is [B,d1,h1,w1,16C] and XLA holds its 8 shifted slice
+# operands alive alongside it (the optimization_barrier keeps the concat
+# materialized on purpose), so the backward's transient peak is ~2x the
+# table. At the paper-protocol dims (bs32, NFI z-extent 104 -> L1 grid
+# 44x44x52, C=64) that is 2 x 6.14 GiB — the round-3 dress-rehearsal OOM
+# ("Used 15.95G of 15.75G", docs/experiments/round3/sweep7.log). When
+# the peak exceeds `_pool_bwd_budget()` (DPCR_POOL_BWD_BYTES if set,
+# else 60% of device HBM) the backward runs in lax.map batch chunks:
+# the table is transient, so chunking divides the peak by the chunk
+# count at unchanged gather-row count (same argument as FOLD_CHUNKS).
+# DPCR_POOL_BWD_CHUNKS forces a chunk count (0 = derive from budget).
+POOL_BWD_BYTES = int(os.environ.get("DPCR_POOL_BWD_BYTES", 0))
+POOL_BWD_CHUNKS = int(os.environ.get("DPCR_POOL_BWD_CHUNKS", 0))
 
-def _pooled_rows_bwd(dims, res, cts):
-    coords, mask, h_rows, y, occ_l = res
-    ct_y, _ = cts                      # occupancy output is gradient-free
+
+def _pool_bwd_budget() -> int:
+    if POOL_BWD_BYTES:
+        return POOL_BWD_BYTES
+    from .membudget import hbm_bytes_limit
+    return int(0.60 * hbm_bytes_limit())
+
+
+def _pool_bwd_chunk_count(b: int, peak_bytes: int) -> int:
+    """Smallest divisor of b whose per-chunk transient peak fits the
+    budget (1 = unchunked; b = per-sample always fits at NFI scales)."""
+    if POOL_BWD_CHUNKS:
+        return POOL_BWD_CHUNKS
+    budget = _pool_bwd_budget()
+    if peak_bytes <= budget:
+        return 1
+    for n in range(2, b + 1):
+        if b % n == 0 and peak_bytes // n <= budget:
+            return n
+    return b
+
+
+def _pool_bwd_rows(coords, mask, h_rows, y, ctm, dims, mode):
+    """Route L1 cotangents back to the rows for one (sub-)batch: gather
+    each row's 8 parent (y, ct) cells and accumulate ct where the row's
+    value equals the window max. `mode` picks the fetch shape (cube =
+    one wide row/site off an overlap-folded table; slots8 = 8 narrow
+    rows/site)."""
     b, v = mask.shape
     c = h_rows.shape[-1]
-    ctm = jnp.where(occ_l > 0, ct_y, 0).astype(y.dtype)
     flat, valid, s1 = _pool_parents(coords, mask, dims)
-    mode = POOL_BWD_GATHER
-    if mode == "auto":
-        mode = "cube" if b > 16 else "slots8"
     if mode == "cube":
         d, h, w = dims
         d1, h1, w1 = -(-d // 2), -(-h // 2), -(-w // 2)
@@ -745,7 +796,45 @@ def _pooled_rows_bwd(dims, res, cts):
         g = batched_rows(tab, flat)                         # [B,V,8,2C]
     eq = (g[..., :c] == h_rows[:, :, None, :]) & valid[..., None]
     dx = jnp.sum(jnp.where(eq, g[..., c:].astype(jnp.float32), 0.0), axis=2)
-    dx = jnp.where(mask[..., None], dx, 0.0).astype(h_rows.dtype)
+    return jnp.where(mask[..., None], dx, 0.0).astype(h_rows.dtype)
+
+
+def _pooled_rows_bwd(dims, res, cts):
+    coords, mask, h_rows, y, occ_l = res
+    ct_y, _ = cts                      # occupancy output is gradient-free
+    b, v = mask.shape
+    c = h_rows.shape[-1]
+    ctm = jnp.where(occ_l > 0, ct_y, 0).astype(y.dtype)
+    mode = POOL_BWD_GATHER
+    if mode == "auto":
+        mode = "cube" if b > 16 else "slots8"
+    chunks = 1
+    if mode == "cube":
+        d1, h1, w1 = (-(-dims[0] // 2), -(-dims[1] // 2), -(-dims[2] // 2))
+        cube_bytes = b * d1 * h1 * w1 * 16 * c * np.dtype(y.dtype).itemsize
+        chunks = _pool_bwd_chunk_count(b, 2 * cube_bytes)
+        logger.info(
+            "pool-bwd plan: mode=cube b=%d L1=%dx%dx%d C=%d table=%.2fGB "
+            "peak~%.2fGB budget=%.2fGB -> chunks=%d", b, d1, h1, w1, c,
+            cube_bytes / 1e9, 2 * cube_bytes / 1e9,
+            _pool_bwd_budget() / 1e9, chunks)
+    if chunks > 1 and b % chunks != 0:
+        raise ValueError(
+            f"DPCR_POOL_BWD_CHUNKS={chunks} must divide the batch size "
+            f"(got {b})")
+    if chunks > 1:
+        bc = b // chunks
+
+        def split(x):
+            return x.reshape(chunks, bc, *x.shape[1:])
+
+        dx = jax.lax.map(
+            lambda a: _pool_bwd_rows(*a, dims, mode),
+            (split(coords), split(mask), split(h_rows), split(y),
+             split(ctm)))
+        dx = dx.reshape(b, v, c)
+    else:
+        dx = _pool_bwd_rows(coords, mask, h_rows, y, ctm, dims, mode)
     f0 = jax.dtypes.float0
     return (np.zeros(coords.shape, f0), np.zeros(mask.shape, f0), dx)
 

@@ -92,6 +92,8 @@ class Trainer:
         self.model_name = str(cfg["model_name"])
 
         run_config = _cfg_to_dict(cfg)
+        from .state import check_env_snapshot, dpcr_env_snapshot
+        run_config["dpcr_env"] = dpcr_env_snapshot()
         self.checkpoint = ModelCheckpoint(
             checkpoint_dir or self.run_dir, self.model_name,
             self.selection_stage, run_config=run_config,
@@ -103,6 +105,7 @@ class Trainer:
             # re-create model/dataset from the stored run config
             # (model_checkpoint.py:182-193) unless the caller overrides
             saved = self.checkpoint.checkpoint.run_config
+            check_env_snapshot(saved)
             if saved and not self._eval_mode:
                 log.info("Resuming from checkpoint run config")
 

@@ -378,6 +378,52 @@ def test_pooled_rows_fused_matches_dense(monkeypatch, fwd_mode, bwd_gather):
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("force", ["chunks", "budget"])
+def test_pool_bwd_chunked_matches_unchunked(monkeypatch, force):
+    """The memory-aware chunked pool backward (lax.map over batch
+    sub-chunks — the round-4 fix for the bs32/NFI-dims HBM OOM,
+    docs/experiments/round3/sweep7.log) is exact vs the unchunked cube
+    path, forced both ways: an explicit DPCR_POOL_BWD_CHUNKS and a
+    DPCR_POOL_BWD_BYTES budget small enough that the derived chunk count
+    must exceed 1."""
+    from dpcr_agb_tpu.ops import sparse_stem
+    from dpcr_agb_tpu.ops.sparse_stem import pooled_rows_fused
+    monkeypatch.setattr(sparse_stem, "POOL_BWD_GATHER", "cube")
+    rng = np.random.default_rng(11)
+    dims = (11, 10, 9)
+    cs, ms, fs = [], [], []
+    for b in range(4):
+        c_, m_ = _random_sites(np.random.default_rng(90 + b), dims,
+                               31 + 7 * b, 64)
+        cs.append(c_), ms.append(m_)
+        f_ = jnp.asarray(rng.normal(size=(64, 6)), jnp.float32)
+        fs.append(jnp.where(m_[:, None], f_, 0.0))
+    coords, mask, feats = jnp.stack(cs), jnp.stack(ms), jnp.stack(fs)
+
+    want, _ = pooled_rows_fused(coords, mask, feats, dims)
+    ct = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+
+    def g(f):
+        return jax.grad(
+            lambda x: jnp.sum(pooled_rows_fused(coords, mask, x, dims)[0]
+                              * ct))(f)
+
+    g_unchunked = g(feats)
+    if force == "chunks":
+        monkeypatch.setattr(sparse_stem, "POOL_BWD_CHUNKS", 2)
+    else:
+        # budget below one chunk's 2x cube-table peak -> derived chunks>1
+        d1, h1, w1 = (-(-dims[0] // 2), -(-dims[1] // 2), -(-dims[2] // 2))
+        peak = 2 * 4 * d1 * h1 * w1 * 16 * 6 * 4
+        monkeypatch.setattr(sparse_stem, "POOL_BWD_BYTES", peak // 2 + 1)
+        assert sparse_stem._pool_bwd_chunk_count(4, peak) == 2
+    got, _ = pooled_rows_fused(coords, mask, feats, dims)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(g(feats)),
+                               np.asarray(g_unchunked),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_pooled_rows_fused_whole_model(monkeypatch):
     """SENet14 with DPCR_SPARSE_POOL=fused matches the dense-pool sparse-L0
