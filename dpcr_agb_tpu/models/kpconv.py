@@ -427,6 +427,10 @@ class KPCNN(nn.Module):
     point_fracs: Optional[Sequence[float]] = None
     neighborhood_limits: Optional[Sequence[int]] = None
     kernel_seed: int = 42
+    # 'auto' (reference rule: potential descent K<=30, Lloyd above) |
+    # 'lloyd' | 'descent' — a math-affecting choice, so it is a config key
+    # (conf/models/instance/kpconv.yaml extra_options) stored in run_config
+    kp_disposition: str = "auto"
     # fused Pallas KPConv kernel for rigid layers (opt-in; measured SLOWER
     # than the XLA formulation on v5e — see __call__)
     fused_kernel: Optional[bool] = None
@@ -533,7 +537,8 @@ class KPCNN(nn.Module):
             extent = r * self.kp_extent / self.conv_radius
             kp_disp = load_kernel_points(r, self.num_kernel_points,
                                          self.fixed_kernel_points,
-                                         seed=self.kernel_seed + l)
+                                         seed=self.kernel_seed + l,
+                                         method=self.kp_disposition)
             p_l, m_l = pts[l]
             # rigid influence geometry is feature-independent — compute once
             # per (level, conv/pool geometry) and share across every rigid
@@ -698,6 +703,7 @@ def build_kpconv(option, dataset, bn_axis_name=None):
         batch_norm_momentum=float(get("batch_norm_momentum", 0.02)),
         point_fracs=extra.get("point_fracs"),
         neighborhood_limits=extra.get("neighborhood_limits"),
+        kp_disposition=extra.get("kp_disposition", "auto"),
         fused_kernel=extra.get("fused_kernel"),
         bn_axis_name=bn_axis_name,
         deform_radius=float(get("deform_radius", 5.0)),

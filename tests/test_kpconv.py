@@ -136,6 +136,44 @@ class TestKernelPoints:
         np.testing.assert_array_equal(a, b)  # deterministic
         assert np.linalg.norm(a, axis=1).max() > 1.0  # scaled by radius
 
+    def test_potential_descent_properties(self):
+        """Reference GD optimizer semantics (kernel_points.py:204-337):
+        fixed center, mean non-center radius == 0.66 after rescale,
+        well-separated points."""
+        from dpcr_agb_tpu.ops.kernel_points import potential_descent
+        pts = potential_descent(15, fixed="center", n_candidates=8,
+                                max_steps=3000)
+        assert pts.shape == (15, 3)
+        np.testing.assert_allclose(pts[0], 0.0, atol=1e-7)
+        radii = np.linalg.norm(pts, axis=1)
+        np.testing.assert_allclose(radii[1:].mean(), 0.66, atol=1e-3)
+        d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        d[np.eye(15, dtype=bool)] = np.inf
+        assert d.min() > 0.2  # repulsion spread the points
+
+    def test_potential_descent_verticals(self):
+        from dpcr_agb_tpu.ops.kernel_points import potential_descent
+        pts = potential_descent(15, fixed="verticals", n_candidates=4,
+                                max_steps=2000)
+        np.testing.assert_allclose(pts[0], 0.0, atol=1e-7)
+        # vertical pair stays on the z axis (xy gradients zeroed)
+        np.testing.assert_allclose(pts[1:3, :2], 0.0, atol=1e-7)
+        assert pts[1, 2] > 0 and pts[2, 2] < 0
+
+    def test_auto_method_matches_reference_rule(self, tmp_path, monkeypatch):
+        """K<=30 -> descent disposition (mean radius 0.66), K>30 -> Lloyd
+        (space-filling, larger mean radius). Uses a temp cache dir so the
+        packaged dispositions are untouched."""
+        from dpcr_agb_tpu.ops import kernel_points as kpmod
+        monkeypatch.setattr(kpmod, "_CACHE_DIR", str(tmp_path))
+        monkeypatch.delenv("DPCR_KP_DISPOSITION", raising=False)
+        a = load_kernel_points(1.0, 15, seed=0, jitter=0.0)
+        np.testing.assert_allclose(
+            np.linalg.norm(a, axis=1)[1:].mean(), 0.66, atol=1e-3)
+        # pinning lloyd gives the space-filling disposition instead
+        b = load_kernel_points(1.0, 15, seed=0, jitter=0.0, method="lloyd")
+        assert abs(np.linalg.norm(b, axis=1)[1:].mean() - 0.66) > 0.02
+
 
 class TestKPCNN:
     def _batch(self, rng, bs=2, n=256, c=3, T=2):
