@@ -84,6 +84,7 @@ class Trainer:
         self.find_neighbour_dist = bool(dbg.get("find_neighbour_dist", False))
         self.num_find_neighbour_samples = int(
             dbg.get("num_find_neighbour_samples", 32))
+        self.progress_batches = int(dbg.get("progress_batches", 0) or 0)
 
         checkpoint_dir = str(get_t("checkpoint_dir", "") or "")
         self.resume = bool(checkpoint_dir)
@@ -572,10 +573,36 @@ class Trainer:
         if profiling:
             import jax.profiler
             jax.profiler.start_trace(str(Path(self.run_dir) / "profile"))
-        for bi, batch in enumerate(loader.epoch(epoch)):
+        # per-batch data-wait vs device-step split (the reference's tqdm
+        # postfix signal, trainer.py:337-341): data_s counts time blocked on
+        # the loader iterator (prefetch falling behind), step_s everything
+        # else (dispatch + the 10th-batch metric fetch, which is where async
+        # device work is actually awaited)
+        progress = self.progress_batches
+        if progress <= 0:
+            progress = max(n_batches // 4, 1)
+        data_s = step_s = 0.0
+        it = iter(loader.epoch(epoch))
+        bi = -1
+        while True:
+            td = time.perf_counter()
+            batch = next(it, None)
+            data_s += time.perf_counter() - td
+            if batch is None:
+                break
+            bi += 1
+            ts = time.perf_counter()
             self.state, out = self.runner.train(self.state, batch)
             if bi % 10 == 0:  # track every 10th batch (trainer.py:333-335)
                 self._track(batch, out)
+            step_s += time.perf_counter() - ts
+            if bi and bi % progress == 0:
+                n = bi + 1
+                log.info(f"  batch {bi}/{n_batches}: "
+                         f"data {data_s / n * 1e3:.0f} ms/b, "
+                         f"step {step_s / n * 1e3:.0f} ms/b, "
+                         f"{n * self.batch_size / (data_s + step_s):.1f} "
+                         f"plots/s")
             if self._stop_early(bi):
                 break
         if profiling:
@@ -585,7 +612,8 @@ class Trainer:
         self.state = dataclasses.replace(self.state, epoch=epoch)
         dur = time.time() - t0
         log.info(f"train epoch {epoch}: {n_batches} batches in {dur:.1f}s "
-                 f"({n_batches * self.batch_size / max(dur, 1e-9):.1f} plots/s)")
+                 f"({n_batches * self.batch_size / max(dur, 1e-9):.1f} plots/s"
+                 f"; data {data_s:.1f}s / step {step_s:.1f}s)")
         self._finalize_epoch(epoch, "train")
 
     def _test_epoch(self, epoch: int, stage: str) -> Dict[str, float]:
