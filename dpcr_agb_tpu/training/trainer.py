@@ -463,8 +463,9 @@ class Trainer:
         # DPCR_KP_CALIB_PCT env var) tightens the crop — the reference's own
         # neighborhood_limits cropping proves tolerance, and the edge
         # pipeline cost is linear in K (docs/experiments/round3)
-        pct = float(option.get("calibrate_percentile",
-                               os.environ.get("DPCR_KP_CALIB_PCT", 90.0)))
+        env_pct = os.environ.get("DPCR_KP_CALIB_PCT")
+        pct = (float(env_pct) if env_pct
+               else float(option.get("calibrate_percentile", 90.0)))
         try:
             from ..utils.neighbor_calibration import run_find_neighbour_dist
             limits = run_find_neighbour_dist(
