@@ -160,12 +160,11 @@ class TestKernelPoints:
         np.testing.assert_allclose(pts[1:3, :2], 0.0, atol=1e-7)
         assert pts[1, 2] > 0 and pts[2, 2] < 0
 
-    def test_auto_method_matches_reference_rule(self, tmp_path, monkeypatch):
+    def test_auto_method_matches_reference_rule(self, monkeypatch):
         """K<=30 -> descent disposition (mean radius 0.66), K>30 -> Lloyd
-        (space-filling, larger mean radius). Uses a temp cache dir so the
-        packaged dispositions are untouched."""
-        from dpcr_agb_tpu.ops import kernel_points as kpmod
-        monkeypatch.setattr(kpmod, "_CACHE_DIR", str(tmp_path))
+        (space-filling, larger mean radius). Reads the packaged disposition
+        cache (committed, like the reference's kernels/dispositions .ply
+        files) — regeneration is covered by test_potential_descent_*."""
         monkeypatch.delenv("DPCR_KP_DISPOSITION", raising=False)
         a = load_kernel_points(1.0, 15, seed=0, jitter=0.0)
         np.testing.assert_allclose(

@@ -40,8 +40,8 @@ def test_pallas_pool_forward_parity(shape, occ_p):
 
 @pytest.mark.parametrize("shape,occ_p", [
     ((2, 8, 8, 8, 8), 0.15),
-    ((1, 7, 9, 6, 16), 0.4),
-    ((2, 6, 6, 8, 8), 0.9),
+    pytest.param((1, 7, 9, 6, 16), 0.4, marks=pytest.mark.slow),
+    pytest.param((2, 6, 6, 8, 8), 0.9, marks=pytest.mark.slow),
 ])
 def test_pallas_pool_gradient_parity(shape, occ_p):
     x, occ, occ_l = _case(shape, occ_p, seed=1)
@@ -94,6 +94,7 @@ def _tie_free_bf16_case(shape, occ_p, seed):
     return xs, occ, occupancy_pool(occ)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape,occ_p", [
     ((2, 8, 8, 8, 8), 0.15),
     ((1, 7, 10, 6, 8), 0.4),

@@ -45,6 +45,7 @@ def test_sparse_stem_matches_dense_conv(k, cin, cout):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scatter_flags_mode_matches_legacy(monkeypatch):
     """DPCR_SCATTER=flags (unique-rows lax.scatter, per-sample dump
     region) is bit-identical to the legacy .at[].add scatter on unique
@@ -112,6 +113,7 @@ def test_scatter_sorted_mode_matches_legacy(monkeypatch):
     np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k,cin,cout", [(7, 3, 16), (3, 4, 8)])
 def test_xminor_stem_matches_dense_conv(monkeypatch, k, cin, cout):
     """DPCR_STEM=xminor (2-wide-row gather + shift-lane matmul) matches the
@@ -169,6 +171,7 @@ def test_xminor_stem_matches_dense_conv(monkeypatch, k, cin, cout):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_xminor_falls_back_when_fold_budget_blocks_gk(monkeypatch):
     """When the g=k fold does not fit the HBM budget (huge batch), the
     xminor dispatch degrades to the grouped core instead of OOMing."""
@@ -208,6 +211,7 @@ def test_sparse_stem_bf16_close():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow  # rows-mode pool is opt-in
 def test_sparse_pool_matches_dense_max_pool():
     rng = np.random.default_rng(2)
     dims = (12, 10, 8)
@@ -235,6 +239,7 @@ def test_sparse_pool_matches_dense_max_pool():
     assert int(grid1.mask.sum()) == int(occ1.sum())
 
 
+@pytest.mark.slow  # rows-mode pool is opt-in
 def test_pool_neighbor_map_drops_oob():
     """An out-of-bounds L0 coord that is masked IN must never appear in
     any pool window (scatter_to_dense_batch drop semantics; rows mode)."""
@@ -283,6 +288,7 @@ def test_fold_chunks_match_unchunked(monkeypatch):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_scatter_max_pool_matches_dense():
     """scatter_max_pool_batch == scatter-to-dense + occupancy_pool +
     dense_max_pool: full L1 volumes (values, zeros at unoccupied sites)
@@ -326,8 +332,13 @@ def test_scatter_max_pool_matches_dense():
 
 
 @pytest.mark.parametrize("fwd_mode,bwd_gather", [
-    ("dense", "slots8"), ("separable", "slots8"), ("scattermax", "slots8"),
-    ("dense", "cube"), ("scattermax", "cube")])
+    # fast gate: the two production defaults (dense fwd; slots8 bwd at
+    # b<=16, cube at b>16). Non-default fwd flavors run in the slow gate.
+    ("dense", "slots8"),
+    pytest.param("separable", "slots8", marks=pytest.mark.slow),
+    pytest.param("scattermax", "slots8", marks=pytest.mark.slow),
+    ("dense", "cube"),
+    pytest.param("scattermax", "cube", marks=pytest.mark.slow)])
 def test_pooled_rows_fused_matches_dense(monkeypatch, fwd_mode, bwd_gather):
     """pooled_rows_fused forward is value-identical to scatter-to-dense +
     occupancy_pool + dense_max_pool under all three DPCR_POOL_FWD flavors
@@ -378,7 +389,8 @@ def test_pooled_rows_fused_matches_dense(monkeypatch, fwd_mode, bwd_gather):
                                    rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("force", ["chunks", "budget"])
+@pytest.mark.parametrize("force", [
+    "chunks", pytest.param("budget", marks=pytest.mark.slow)])
 def test_pool_bwd_chunked_matches_unchunked(monkeypatch, force):
     """The memory-aware chunked pool backward (lax.map over batch
     sub-chunks — the round-4 fix for the bs32/NFI-dims HBM OOM,
@@ -499,6 +511,7 @@ def test_scatter_max_pool_whole_model(monkeypatch):
     jax.tree_util.tree_map_with_path(_cmp, g_dense, g_sm)
 
 
+@pytest.mark.slow
 def test_sparse_stem_empty_sample():
     dims = (8, 8, 8)
     coords = jnp.zeros((16, 3), jnp.int32)
@@ -632,6 +645,7 @@ class TestWholeModelParity:
                 err_msg=jax.tree_util.keystr(path))
         jax.tree_util.tree_map_with_path(_cmp, g_dense, g_sparse)
 
+    @pytest.mark.slow
     def test_bn_stats_match(self, monkeypatch):
         """Train-mode batch_stats from the sparse-L0 stem norm equal the
         dense-L0 ones (same occupied-site statistics)."""
@@ -715,6 +729,7 @@ def test_grouped_fold_budgets_match(monkeypatch, budget):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_separable_pool_bwd_mode_parity(monkeypatch):
     """DPCR_POOL_BWD=separable: cascaded 1D window maxes == the 3^3 pool,
     values and gradients."""

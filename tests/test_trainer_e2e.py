@@ -271,6 +271,7 @@ def test_ply_visualization_export(run_dir):
     assert len(props["x"]) > 0
 
 
+@pytest.mark.slow
 def test_tensorboard_3d_visualization_export(run_dir):
     """tensorboard format writes per-sample add_mesh panels (reference
     visualizer.py:300-328; VERDICT missing #7)."""

@@ -324,7 +324,8 @@ class TestDenseStem:
             np.asarray(jax.grad(loss_fold)(wts)),
             np.asarray(jax.grad(loss_ref)(wts)), rtol=1e-4, atol=1e-4)
 
-    @pytest.mark.parametrize("fwd_mode", ["separable", "window3d"])
+    @pytest.mark.parametrize("fwd_mode", [
+        pytest.param("separable", marks=pytest.mark.slow), "window3d"])
     def test_manual_max_pool_matches_forward_and_backward(
             self, rng, fwd_mode, monkeypatch):
         from dpcr_agb_tpu.ops.dense_grid import (dense_max_pool,
