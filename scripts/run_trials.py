@@ -101,9 +101,18 @@ def main(argv=None):
             import calibrate_bn as cal_mod
             print(f"[run_trials] trial{seed}: BN recalibration "
                   f"({args.calibrate_bn} epochs)", flush=True)
-            cal_mod.main(args.overrides + [
+            cal = args.overrides + [
                 f"seed={seed}", f"checkpoint_dir={run_dir}",
-                f"epochs={args.calibrate_bn}", f"run_dir={run_dir}"])
+                f"epochs={args.calibrate_bn}", f"run_dir={run_dir}"]
+            # reference protocol recalibrates at batch 64 with workers
+            # (README.md:164-170); conf/calibrate_bn.yaml's root defaults
+            # (batch_size 2, num_workers 0) are the reference's file
+            # surface, not its run recipe
+            if _get_override(args.overrides, "batch_size") is None:
+                cal.append("batch_size=64")
+            if _get_override(args.overrides, "num_workers") is None:
+                cal.append("num_workers=4")
+            cal_mod.main(cal)
         done_marker = os.path.join(eval_dir, ".eval_done")
         if os.path.exists(done_marker):
             print(f"[run_trials] trial{seed}: eval exists, skip", flush=True)
@@ -116,6 +125,12 @@ def main(argv=None):
             "eval_stages=[train,val,test]"]
         if eval_tf:
             ev.append(f"data.transform_type={eval_tf}")
+        # reference protocol evals at batch 32 with workers
+        # (README.md:179-216), not conf/eval.yaml's file defaults
+        if _get_override(args.overrides, "batch_size") is None:
+            ev.append("batch_size=32")
+        if _get_override(args.overrides, "num_workers") is None:
+            ev.append("num_workers=4")
         eval_mod.main(ev)
         with open(done_marker, "w") as f:
             f.write("ok\n")
