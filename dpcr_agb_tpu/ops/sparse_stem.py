@@ -676,10 +676,73 @@ def pooled_rows_fused(coords, mask, h_rows, dims):
         occ_l = jax.lax.stop_gradient(
             jnp.ones((mask.shape[0], d1, h1, w1, 1), h_rows.dtype))
         return y, occ_l
+    b, v = mask.shape
+    c = h_rows.shape[-1]
+    chunks = _pool_fwd_chunk_count(b, v, tuple(dims), c,
+                                   np.dtype(h_rows.dtype).itemsize)
+    if chunks > 1:
+        # the forward's full-res scatter table is b*(s+v) lane-padded rows
+        # of TRANSIENT HBM (b=64 f32 at the NFI z-extent = 26 GB — the
+        # round-4 calibration compile OOM); lax.map over batch sub-chunks
+        # divides it like the fold/pool-bwd tables, same row count
+        cb = b // chunks
+        logger.info(
+            "pool-fwd plan: b=%d table %.2fGB over budget %.2fGB -> "
+            "chunks=%d", b,
+            _pool_fwd_table_bytes(b, v, tuple(dims), c,
+                                  np.dtype(h_rows.dtype).itemsize) / 1e9,
+            _pool_fwd_budget() / 1e9, chunks)
+
+        def split(x):
+            return x.reshape(chunks, cb, *x.shape[1:])
+
+        y, occ_l = jax.lax.map(
+            lambda a: pooled_rows_fused(a[0], a[1], a[2], dims),
+            (split(coords), split(mask), split(h_rows)))
+        return (y.reshape(b, *y.shape[2:]),
+                occ_l.reshape(b, *occ_l.shape[2:]))
     if layout.BATCH_LOCAL:
         return _per_sample(_pooled_rows_fused, 3, coords, mask, h_rows,
                            tuple(dims))
     return _pooled_rows_fused(coords, mask, h_rows, tuple(dims))
+
+
+# The pool forward's dense scatter table ([b*(s+v), C+1] rows, lane-padded
+# to 128 on TPU) is the step's single biggest transient at full resolution;
+# budget it like the fold table so batch growth (BN calibration at the
+# reference's batch 64, README.md:164-170) degrades into chunking instead
+# of an OOM. DPCR_POOL_FWD_BYTES overrides; default 45% of device HBM
+# admits the unchunked bs32/z104 bf16 table (6.73 GB) that the benched
+# training path uses.
+POOL_FWD_BYTES = int(os.environ.get("DPCR_POOL_FWD_BYTES", 0))
+
+
+def _pool_fwd_budget() -> int:
+    if POOL_FWD_BYTES:
+        return POOL_FWD_BYTES
+    from .membudget import hbm_bytes_limit
+    return int(0.45 * hbm_bytes_limit())
+
+
+def _pool_fwd_table_bytes(b: int, v: int, dims, c: int,
+                          itemsize: int) -> int:
+    from .dense_grid import POOL_FWD_MODE
+    d, h, w = dims
+    s = d * h * w
+    if POOL_FWD_MODE == "scattermax":                # L1-resolution table
+        s = -(-d // 2) * -(-h // 2) * -(-w // 2)
+    lanes = -(-(c + 1) // 128) * 128                 # TPU T(8,128) padding
+    return b * (s + v) * lanes * itemsize
+
+
+def _pool_fwd_chunk_count(b: int, v: int, dims, c: int,
+                          itemsize: int) -> int:
+    budget = _pool_fwd_budget()
+    per = _pool_fwd_table_bytes(1, v, dims, c, itemsize)
+    for n in range(1, b + 1):
+        if b % n == 0 and (b // n) * per <= budget:
+            return n
+    return b
 
 
 from functools import partial as _partial

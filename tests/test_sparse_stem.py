@@ -436,6 +436,48 @@ def test_pool_bwd_chunked_matches_unchunked(monkeypatch, force):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_pool_fwd_chunked_matches_unchunked(monkeypatch):
+    """The budget-chunked pool FORWARD (round-4 fix for the b=64 BN
+    recalibration compile OOM: the full-res scatter table is b*(s+v)
+    lane-padded rows of transient HBM) is exact vs the unchunked path —
+    values, occupancy, and gradients — in both flat and BATCH_LOCAL
+    layouts, with the chunk count derived from a forced small budget."""
+    from dpcr_agb_tpu.ops import layout, sparse_stem
+    from dpcr_agb_tpu.ops.sparse_stem import pooled_rows_fused
+    rng = np.random.default_rng(13)
+    dims = (11, 10, 9)
+    cs, ms, fs = [], [], []
+    for b in range(4):
+        c_, m_ = _random_sites(np.random.default_rng(130 + b), dims,
+                               29 + 5 * b, 64)
+        cs.append(c_), ms.append(m_)
+        f_ = jnp.asarray(rng.normal(size=(64, 6)), jnp.float32)
+        fs.append(jnp.where(m_[:, None], f_, 0.0))
+    coords, mask, feats = jnp.stack(cs), jnp.stack(ms), jnp.stack(fs)
+
+    want, occ_want = pooled_rows_fused(coords, mask, feats, dims)
+    ct = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+
+    def g(f):
+        return jax.grad(
+            lambda x: jnp.sum(pooled_rows_fused(coords, mask, x, dims)[0]
+                              * ct))(f)
+
+    g_unchunked = g(feats)
+    per = sparse_stem._pool_fwd_table_bytes(1, 64, dims, 6, 4)
+    monkeypatch.setattr(sparse_stem, "POOL_FWD_BYTES", 2 * per + 1)
+    assert sparse_stem._pool_fwd_chunk_count(4, 64, dims, 6, 4) == 2
+    for batch_local in (False, True):
+        monkeypatch.setattr(layout, "BATCH_LOCAL", batch_local)
+        got, occ_got = pooled_rows_fused(coords, mask, feats, dims)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(occ_got),
+                                      np.asarray(occ_want))
+        np.testing.assert_allclose(np.asarray(g(feats)),
+                                   np.asarray(g_unchunked),
+                                   rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_pooled_rows_fused_whole_model(monkeypatch):
     """SENet14 with DPCR_SPARSE_POOL=fused matches the dense-pool sparse-L0
