@@ -32,12 +32,10 @@ def main(overrides=None):
         "epochs": 0,
         "batch_size": cfg.get("batch_size", saved_training.get("batch_size", 2)),
         "num_workers": cfg.get("num_workers", 0), "shuffle": True,
-        # calibrate with the training compute dtype: the reference runs its
-        # calibration forwards under the same AMP autocast as training
-        # (trainer.py:254-258); dropping enable_mixed here recalibrated BN
-        # on f32 activations for a bf16-trained model AND quadrupled the
-        # L0 volume tables (the b=64 26 GB compile OOM, round 4)
-        "enable_mixed": bool(saved_training.get("enable_mixed", False)),
+        # enable_mixed is deliberately absent: the trainer inherits the
+        # TRAIN-time compute dtype from the checkpoint's run config on
+        # resume (trainer.py) — the reference calibrates under the same
+        # AMP autocast it trained with (its trainer.py:254-258)
         "checkpoint_dir": cfg["checkpoint_dir"],
         "weight_name": cfg.get("weight_name", "latest"),
         "optim": {"base_lr": 1e-3,

@@ -109,6 +109,18 @@ class Trainer:
             check_env_snapshot(saved)
             if saved and not self._eval_mode:
                 log.info("Resuming from checkpoint run config")
+            # forward-only surfaces (eval.py / calibrate_bn.py) rebuild a
+            # minimal cfg['training'] that carries no enable_mixed: inherit
+            # the TRAIN-time compute dtype from the stored run config — the
+            # reference evals/calibrates under the same AMP autocast it
+            # trained with (its trainer.py:254-258,391-398). An explicit
+            # enable_mixed=False override still wins (not-None check).
+            saved_tr = dict((saved or {}).get("training") or {})
+            if get_t("enable_mixed", None) is None and \
+                    saved_tr.get("enable_mixed"):
+                self.training_cfg["enable_mixed"] = True
+                log.info("inherited enable_mixed=True (bf16 compute) from "
+                         "the checkpoint run config")
 
         self.dataset = instantiate_dataset(cfg["data"])
         self._auto_calibrate_kpconv_limits(cfg)
