@@ -6,9 +6,12 @@ Automates the manual loop in scripts/reproduce_nfi.md (the reference's
 published numbers are medians/extremes over 5 trials per model —
 BASELINE.md; reference protocol: README.md:150-180 + the eval notebooks).
 
-Each trial runs in-process sequentially (ONE TPU client process at a time —
-the chip serializes concurrent clients). Trials that already have a
-checkpoint in their run_dir are skipped, so the script is resumable.
+Each protocol stage (train / calibrate_bn / eval) runs as its own
+sequential subprocess — still ONE TPU client at a time, but each stage's
+host memory is returned to the OS (the in-process loop leaked to ~130 GB
+RSS by trial 2 of the NFI rehearsal and was OOM-killed). Trials that
+already have a checkpoint in their run_dir are skipped, so the script is
+resumable.
 
 Example (synthetic smoke):
   python scripts/run_trials.py --trials 2 --out outputs/senet14 \
@@ -75,8 +78,19 @@ def main(argv=None):
     if not args.overrides:
         ap.error("no train.py overrides given (pass them after `--`)")
 
-    import train as train_mod
-    import eval as eval_mod
+    import subprocess
+
+    def run_cli(script, cli_overrides):
+        """One protocol stage = one subprocess, like the reference's
+        per-command recipe (README.md:132-216). Sequential, so still one
+        TPU client at a time; isolates each stage's host memory — the
+        in-process loop accumulated ~130 GB RSS by trial 2 of the NFI
+        rehearsal and was OOM-killed by the kernel (round 4)."""
+        r = subprocess.run([sys.executable, os.path.join(REPO, script)]
+                           + cli_overrides)
+        if r.returncode != 0:
+            raise SystemExit(
+                f"[run_trials] {script} failed (rc={r.returncode})")
 
     train_tf = _get_override(args.overrides, "data.transform_type")
     eval_tf = args.eval_transform or derive_eval_transform(train_tf)
@@ -95,10 +109,9 @@ def main(argv=None):
         else:
             print(f"[run_trials] trial{seed}: training (seed={seed})",
                   flush=True)
-            train_mod.main(args.overrides +
-                           [f"seed={seed}", f"run_dir={run_dir}"])
+            run_cli("train.py", args.overrides +
+                    [f"seed={seed}", f"run_dir={run_dir}"])
         if args.calibrate_bn:
-            import calibrate_bn as cal_mod
             print(f"[run_trials] trial{seed}: BN recalibration "
                   f"({args.calibrate_bn} epochs)", flush=True)
             cal = args.overrides + [
@@ -112,7 +125,7 @@ def main(argv=None):
                 cal.append("batch_size=64")
             if _get_override(args.overrides, "num_workers") is None:
                 cal.append("num_workers=4")
-            cal_mod.main(cal)
+            run_cli("calibrate_bn.py", cal)
         done_marker = os.path.join(eval_dir, ".eval_done")
         if os.path.exists(done_marker):
             print(f"[run_trials] trial{seed}: eval exists, skip", flush=True)
@@ -131,7 +144,7 @@ def main(argv=None):
             ev.append("batch_size=32")
         if _get_override(args.overrides, "num_workers") is None:
             ev.append("num_workers=4")
-        eval_mod.main(ev)
+        run_cli("eval.py", ev)
         with open(done_marker, "w") as f:
             f.write("ok\n")
 
