@@ -111,7 +111,10 @@ def main(argv=None):
                   flush=True)
             run_cli("train.py", args.overrides +
                     [f"seed={seed}", f"run_dir={run_dir}"])
-        if args.calibrate_bn:
+        done_marker = os.path.join(eval_dir, ".eval_done")
+        if args.calibrate_bn and not os.path.exists(done_marker):
+            # eval done implies its preceding calibration ran; skipping on
+            # resume keeps relaunches from recalibrating finished trials
             print(f"[run_trials] trial{seed}: BN recalibration "
                   f"({args.calibrate_bn} epochs)", flush=True)
             cal = args.overrides + [
@@ -126,7 +129,6 @@ def main(argv=None):
             if _get_override(args.overrides, "num_workers") is None:
                 cal.append("num_workers=4")
             run_cli("calibrate_bn.py", cal)
-        done_marker = os.path.join(eval_dir, ".eval_done")
         if os.path.exists(done_marker):
             print(f"[run_trials] trial{seed}: eval exists, skip", flush=True)
             continue
