@@ -112,7 +112,11 @@ def main(argv=None):
             run_cli("train.py", args.overrides +
                     [f"seed={seed}", f"run_dir={run_dir}"])
         done_marker = os.path.join(eval_dir, ".eval_done")
-        if args.calibrate_bn and not os.path.exists(done_marker):
+        cal_marker = os.path.join(run_dir, ".cal_done")
+        if args.calibrate_bn and os.path.exists(cal_marker):
+            print(f"[run_trials] trial{seed}: calibration exists, skip",
+                  flush=True)
+        elif args.calibrate_bn and not os.path.exists(done_marker):
             # eval done implies its preceding calibration ran; skipping on
             # resume keeps relaunches from recalibrating finished trials
             print(f"[run_trials] trial{seed}: BN recalibration "
@@ -129,9 +133,19 @@ def main(argv=None):
             if _get_override(args.overrides, "num_workers") is None:
                 cal.append("num_workers=4")
             run_cli("calibrate_bn.py", cal)
+            with open(cal_marker, "w") as f:
+                f.write("ok\n")
         if os.path.exists(done_marker):
             print(f"[run_trials] trial{seed}: eval exists, skip", flush=True)
             continue
+        if os.path.isdir(eval_dir):
+            # a killed attempt leaves partial exports; the visualizer
+            # APPENDS per stage (reference behavior), so stale files would
+            # duplicate prediction rows in the aggregation
+            import shutil
+            print(f"[run_trials] trial{seed}: clearing partial eval dir",
+                  flush=True)
+            shutil.rmtree(eval_dir)
         print(f"[run_trials] trial{seed}: eval ({eval_tf})", flush=True)
         ev = _without(args.overrides, "data.transform_type", "training",
                       "lr_scheduler", "update_lr_scheduler_on") + [
