@@ -287,6 +287,10 @@ def main():
         "value": plots_per_sec,
         "unit": "plots/sec/chip" if device_up else "plots/sec (host CPU)",
         "vs_baseline": round(plots_per_sec / 100.0, 3),
+        # the reference publishes no throughput numbers (BASELINE.md);
+        # the denominator is our documented estimate, not a measurement
+        "baseline": "estimated A100 reference rate = 100 plots/s (no "
+                    "published number; see bench.py docstring)",
     }
     for k in ("mfu", "flops_per_plot", "membw_util", "bytes_per_step",
               "flops_per_step"):
