@@ -636,6 +636,19 @@ class Trainer:
         voting_runs = int(self._cfg.get("voting_runs", 1) or 1)
         enable_dropout = bool(self._cfg.get("enable_dropout", False))
         enable_bn = bool(self._cfg.get("enable_bn", False))
+        # Per-batch eval outputs are NOT pulled to host inside the loop:
+        # every np.asarray on a device output is a full round-trip on a
+        # remote transport (measured ~8-12 min per 3-stage eval through the
+        # axon tunnel vs ~90 s per train epoch — docs/experiments/round4).
+        # Instead the device `out` dicts (reg_out [B,T] + per-sample meta,
+        # ~1 KB/batch) accumulate and ONE jax.device_get at stage end pulls
+        # them all — device_get starts every copy async before blocking, so
+        # the transfers pipeline. Tracker/visualizer math is unchanged (the
+        # reference tracks every batch, trainer.py:391-398 — same semantics,
+        # different transport). DPCR_EVAL_D2H=per_batch restores the old
+        # path (debug aid).
+        per_batch = os.environ.get("DPCR_EVAL_D2H", "") == "per_batch"
+        pending: list = []
         for run in range(voting_runs):
             for bi, batch in enumerate(loader.epoch(run)):
                 if enable_bn:
@@ -649,10 +662,28 @@ class Trainer:
                     out = self.runner.evaluate(self.state, batch,
                                                enable_dropout=enable_dropout,
                                                rng_salt=run * 100003 + bi)
-                self._track(batch, out)
-                self._visualize(batch, out)
+                if per_batch:
+                    self._track(batch, out)
+                    self._visualize(batch, out)
+                else:
+                    if self.visualizer.is_active and self.visualizer.wants_pos:
+                        # the ply exporter consumes the (host-side) point
+                        # cloud alongside the outputs; holding every
+                        # batch.pos would pin the whole split in host
+                        # memory, so visualize per batch and defer only the
+                        # tracker outputs
+                        self._visualize(batch, out)
+                    pending.append(out)
                 if self._stop_early(bi):
                     break
+        if pending:
+            host_outs = jax.device_get(pending)
+            viz_deferred = not (self.visualizer.is_active
+                                and self.visualizer.wants_pos)
+            for out in host_outs:
+                self._track(None, out)
+                if viz_deferred:
+                    self._visualize(None, out)
         return self._finalize_epoch(epoch, stage)
 
     # ------------------------------------------------------------------ utils
