@@ -10,3 +10,16 @@ Design pillars (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Backend pin for subprocess-driven tooling (run_trials / size experiment /
+# CI smokes): some images force the accelerator platform in sitecustomize
+# and ignore JAX_PLATFORMS, so an env-var pin must be applied through
+# jax.config BEFORE the backend initializes. Importing this package is the
+# first thing every CLI does, which makes this the one shared hook.
+# No-op unless DPCR_PLATFORM is set.
+_plat = _os.environ.get("DPCR_PLATFORM")
+if _plat:
+    import jax as _jax
+    _jax.config.update("jax_platforms", _plat)
