@@ -319,6 +319,14 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
                     weights[k ** 3 // 2].astype(compute_dtype),
                     preferred_element_type=jnp.float32)
         return jnp.where(mask[..., None], y, 0.0).astype(compute_dtype)
+    if STEM_MODE == "conv2d":
+        # dense conv2d path: no fold table, no chunking transients (the
+        # z-folded tensor is k*cin channels, ~0.8 GB bf16 at bs32/z80)
+        if layout.BATCH_LOCAL:
+            return _per_sample(_stem_conv_core_conv2d, 3, coords, mask,
+                               feats, dims, weights, k, compute_dtype)
+        return _stem_conv_core_conv2d(coords, mask, feats, dims, weights,
+                                      k, compute_dtype)
     if layout.BATCH_LOCAL:
         # group size from the true per-device batch (b=1 inside the vmap
         # lane would overestimate the budget headroom)
@@ -383,6 +391,50 @@ def _stem_conv_core(coords, mask, feats, dims, weights, kernel_size,
     wf = _grouped_weights(weights, k, g).astype(patches.dtype)
     y = jnp.dot(patches, wf,
                 preferred_element_type=jnp.float32).reshape(b, v, cout)
+    return jnp.where(mask[..., None], y, 0.0).astype(compute_dtype)
+
+
+def _stem_conv_core_conv2d(coords, mask, feats, dims, weights, kernel_size,
+                           compute_dtype):
+    """DENSE reformulation of the stem (DPCR_STEM=conv2d): scatter with z
+    as the leading spatial axis, fold the k z-taps into channels (zero
+    pad — missing neighbors ARE zeros, the conv semantics), then ONE XLA
+    conv2d over (x, y) with Cin = k*cin and z folded into the batch, and
+    finally gather the rows at the occupied sites.
+
+    Rationale: the grouped-gather path is HBM-row-rate-bound (~153 ms
+    marginal at bs32); this trades its fold-table + 7-row/site gather +
+    row scatter-add backward for ~39x redundant MXU FLOPs (2.6 TFLOP fwd
+    at bs32/z80 vs 67 GFLOP at occupied sites) that the idle MXU may
+    absorb — XLA's own 3D conv at Cin=3 measured 4.7% MFU (round 2), but
+    after the z-fold the conv2d sees Cin=k*cin=21 and a clean implicit
+    im2col K of k^2*21 = 1029. Whether XLA's conv2d fwd/bwd kernels beat
+    the row physics is a bench question (round-5 perf session); math
+    parity with _stem_conv_core is test-asserted."""
+    k = kernel_size
+    cin, cout = weights.shape[-2], weights.shape[-1]
+    d, h, w = dims
+    b, v = mask.shape
+    p = k // 2
+    # [B, W(z), D(x), H(y), cin]: permute coord columns, not volumes
+    dense, _ = _scatter_to_dense_impl(
+        coords[..., jnp.asarray([2, 0, 1])], mask,
+        feats.astype(compute_dtype), (w, d, h))
+    zp = jnp.pad(dense, ((0, 0), (p, p), (0, 0), (0, 0), (0, 0)))
+    # z-taps as channels, z fastest within (dz, cin) — matches the
+    # hypercube weight order after the (dx, dy) spatial split below
+    zf = jnp.concatenate([zp[:, i:i + w] for i in range(k)], axis=-1)
+    x2d = zf.reshape(b * w, d, h, k * cin)
+    w4 = weights.reshape(k, k, k * cin, cout).astype(x2d.dtype)
+    y2d = jax.lax.conv_general_dilated(
+        x2d, w4, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(compute_dtype)
+    yv = y2d.reshape(b * w * d * h, cout)
+    cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
+    idx = ((cc[..., 2] + (jnp.arange(b, dtype=coords.dtype) * w)[:, None])
+           * d + cc[..., 0]) * h + cc[..., 1]
+    y = batched_rows(yv, idx)
     return jnp.where(mask[..., None], y, 0.0).astype(compute_dtype)
 
 

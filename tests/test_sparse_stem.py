@@ -115,6 +115,59 @@ def test_scatter_sorted_mode_matches_legacy(monkeypatch):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("k,cin,cout", [(7, 3, 16), (3, 4, 8)])
+def test_conv2d_stem_matches_grouped(monkeypatch, k, cin, cout):
+    """DPCR_STEM=conv2d (z-fold + XLA conv2d over (x,y) + row gather)
+    matches the grouped core everywhere incl. the clip contract for a
+    masked-in out-of-bounds coord, and the dense conv oracle at in-bounds
+    sites; BATCH_LOCAL covered; grad-wrt-weights parity at k=7."""
+    from dpcr_agb_tpu.ops import layout, sparse_stem
+    from dpcr_agb_tpu.ops.sparse_stem import stem_conv_sparse_batch
+    rng = np.random.default_rng(5)
+    dims = (12, 11, 9)
+    cs, ms, fs = [], [], []
+    for bi, n_occ in ((0, 37), (1, 14), (2, 48)):
+        c_, m_ = _random_sites(np.random.default_rng(50 + bi), dims, n_occ,
+                               48)
+        f_ = jnp.asarray(rng.normal(size=(48, cin)), jnp.float32)
+        cs.append(c_), ms.append(m_), fs.append(jnp.where(m_[:, None], f_, 0))
+    coords, mask = jnp.stack(cs), jnp.stack(ms)
+    coords = coords.at[1, 0].set(jnp.asarray([-1, dims[1] + 2, 0]))
+    feats = jnp.stack(fs)
+    w = jnp.asarray(rng.normal(size=(k ** 3, cin, cout)) * 0.1, jnp.float32)
+
+    def dense_ref(c, m, f):
+        dense, occ = scatter_to_dense(c, m, f, dims)
+        y = dense_conv(dense[None], occ[None], w, k)[0]
+        return gather_from_dense(y, c, m)
+    want = np.asarray(jax.vmap(dense_ref)(coords, mask, feats))
+    want_grouped = np.asarray(
+        stem_conv_sparse_batch(coords, mask, feats, dims, w, k))
+    in_bounds = np.asarray(jnp.all(
+        (coords >= 0) & (coords < jnp.asarray(dims)), axis=-1))
+
+    monkeypatch.setattr(sparse_stem, "STEM_MODE", "conv2d")
+    for batch_local in (False, True):
+        monkeypatch.setattr(layout, "BATCH_LOCAL", batch_local)
+        got = np.asarray(
+            stem_conv_sparse_batch(coords, mask, feats, dims, w, k))
+        np.testing.assert_allclose(got[in_bounds], want[in_bounds],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got, want_grouped, rtol=1e-5, atol=1e-5)
+
+    if k == 7:
+        monkeypatch.setattr(layout, "BATCH_LOCAL", False)
+
+        def loss(wi):
+            y = stem_conv_sparse_batch(coords, mask, feats, dims, wi, k)
+            return jnp.sum(y ** 2)
+        g_c = jax.grad(loss)(w)
+        monkeypatch.setattr(sparse_stem, "STEM_MODE", "grouped")
+        g_g = jax.grad(loss)(w)
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_g),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,cin,cout", [(7, 3, 16), (3, 4, 8)])
 def test_xminor_stem_matches_dense_conv(monkeypatch, k, cin, cout):
     """DPCR_STEM=xminor (2-wide-row gather + shift-lane matmul) matches the
     grouped core EXACTLY everywhere (same clip contract for a masked-in
