@@ -50,6 +50,10 @@ for t in $SUBSET; do
     c1) run_bench c1 DPCR_STEM=conv2d ;;
     c2) run_bench c2 DPCR_SCATTER=sorted ;;
     c3) run_bench c3 DPCR_SCATTER=flags ;;
+    c4) run_bench c4 DPCR_FOLD_CHUNKS=1 ;;   # unchunked fold (smaller g)
+    c5) run_bench c5 DPCR_FOLD_CHUNKS=4 ;;
+    c6) run_bench c6 DPCR_POOL_BWD_BYTES=99000000000 ;;  # unchunked cube
+    c7) run_bench c7 DPCR_STEM=conv2d DPCR_SCATTER=sorted ;;
   esac
 done
 note "session phase done"

@@ -310,3 +310,48 @@ def test_kpconv_auto_calibrates_neighborhood_limits(tmp_path):
     rc = t.checkpoint.checkpoint.run_config
     assert rc["models"]["KPConv"]["extra_options"][
         "neighborhood_limits"] == list(limits)
+
+
+@pytest.mark.slow
+def test_trainer_lifecycle_releases_memory(tmp_path):
+    """Two Trainer lifecycles in one process must tear down cleanly: no
+    dataset/loader/runner/trainer objects survive gc, and RSS growth on
+    the SECOND lifecycle is bounded (first-lifecycle growth is jit/XLA
+    compile caches, which are per-program and reused afterwards).
+
+    Regression guard for the round-4 rehearsal leak (~130 GB RSS across
+    in-process trials — worked around by subprocess-per-stage in
+    scripts/run_trials.py; this asserts the Trainer itself is clean)."""
+    import gc
+
+    def rss_mb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024
+        return 0.0
+
+    def one(tag):
+        t = Trainer(_cfg(tmp_path, f"run_dir={tmp_path}/leak_{tag}"))
+        t.train()
+        del t
+
+    one("a")
+    gc.collect()
+    rss1 = rss_mb()
+    one("b")
+    gc.collect()
+    rss2 = rss_mb()
+
+    from dpcr_agb_tpu.data.dataset import Las, LasDataset
+    from dpcr_agb_tpu.data.loader import Loader
+    from dpcr_agb_tpu.training.step import StepRunner
+    survivors = [type(o).__name__ for o in gc.get_objects()
+                 if type(o) in (Las, LasDataset, Loader, StepRunner,
+                                Trainer)]
+    assert not survivors, f"objects alive after teardown: {survivors}"
+    # second lifecycle reuses compiled programs; allow slack for allocator
+    # fragmentation and cache growth, catch anything dataset-sized
+    assert rss2 - rss1 < 300, (
+        f"second Trainer lifecycle grew RSS by {rss2 - rss1:.0f} MB "
+        f"({rss1:.0f} -> {rss2:.0f})")
