@@ -107,6 +107,14 @@ def _scatter_to_dense_impl(coords: jnp.ndarray, mask: jnp.ndarray,
     form measured 14 ms at bs16 for the Cin=3 stem scatter).
     [B,V,3]+[B,V]+[B,V,C] -> dense [B,D,H,W,C] + occupancy [B,D,H,W,1].
 
+    Occupancy is scattered SEPARATELY into a 1-D table rather than fused
+    as a C+1-th payload channel: a [N, C+1] bf16 table is lane-padded to
+    128 by the TPU (8,128) tiling, so at C=64 the fused form DOUBLED the
+    table's zero-init/write/read traffic and extracting the occupancy
+    channel re-read the whole table (round-3 profile: slice.91 = 7.6 ms
+    at bs16 just to slice channel 65). The 1-D occ scatter adds B*V row
+    ops against ~3 full-table passes of saved bandwidth.
+
     Duplicate VALID coords sum in legacy mode; under SCATTER_MODE="flags"
     they are undefined (unique_indices=True) — voxelization upstream
     guarantees uniqueness on every production path."""
@@ -118,9 +126,8 @@ def _scatter_to_dense_impl(coords: jnp.ndarray, mask: jnp.ndarray,
                         axis=-1)
     valid = mask & in_bounds
     flat_idx = (c[..., 0] * h + c[..., 1]) * w + c[..., 2]
-    payload = jnp.concatenate(
-        [jnp.where(valid[..., None], feats, 0),
-         valid[..., None].astype(feats.dtype)], axis=-1)
+    payload = jnp.where(valid[..., None], feats, 0)
+    occ_val = valid.astype(feats.dtype)
     if SCATTER_MODE in ("flags", "sorted"):
         # per-sample layout [s + V]: invalid row i dumps to slot s+i, so
         # ALL indices are unique, and under the normalize_sparse_rows
@@ -135,19 +142,31 @@ def _scatter_to_dense_impl(coords: jnp.ndarray, mask: jnp.ndarray,
         dn = jax.lax.ScatterDimensionNumbers(
             update_window_dims=(1,), inserted_window_dims=(0,),
             scatter_dims_to_operand_dims=(0,))
+        sorted_ = SCATTER_MODE == "sorted"
         table = jax.lax.scatter(
             table, idx.reshape(-1, 1), payload.reshape(b * v, -1), dn,
-            indices_are_sorted=SCATTER_MODE == "sorted",
-            unique_indices=True)
+            indices_are_sorted=sorted_, unique_indices=True)
         dense = table.reshape(b, s + v, -1)[:, :s].reshape(b, d, h, w, -1)
-        return dense[..., :-1], dense[..., -1:]
+        otab = jnp.zeros((b * (s + v),), feats.dtype)
+        dn1 = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(), inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0,))
+        otab = jax.lax.scatter(
+            otab, idx.reshape(-1, 1), occ_val.reshape(-1), dn1,
+            indices_are_sorted=sorted_, unique_indices=True)
+        occ = otab.reshape(b, s + v)[:, :s].reshape(b, d, h, w, 1)
+        return dense, occ
     flat_idx = flat_idx + (jnp.arange(b, dtype=flat_idx.dtype) * s)[:, None]
     flat_idx = jnp.where(valid, flat_idx, b * s)                # dump row
     table = jnp.zeros((b * s + 1, payload.shape[-1]), feats.dtype)
     table = table.at[flat_idx.reshape(-1)].add(
         payload.reshape(b * v, -1), mode="drop")
     dense = table[: b * s].reshape(b, d, h, w, -1)
-    return dense[..., :-1], dense[..., -1:]
+    otab = jnp.zeros((b * s + 1,), feats.dtype)
+    otab = otab.at[flat_idx.reshape(-1)].add(occ_val.reshape(-1),
+                                             mode="drop")
+    occ = otab[: b * s].reshape(b, d, h, w, 1)
+    return dense, occ
 
 
 def _fold_z(vol: jnp.ndarray, k: int, pad_value=0) -> jnp.ndarray:
@@ -426,10 +445,14 @@ def _stem_conv_core_conv2d(coords, mask, feats, dims, weights, kernel_size,
     zf = jnp.concatenate([zp[:, i:i + w] for i in range(k)], axis=-1)
     x2d = zf.reshape(b * w, d, h, k * cin)
     w4 = weights.reshape(k, k, k * cin, cout).astype(x2d.dtype)
+    # no preferred_element_type=f32: it would make the conv OUTPUT f32 and
+    # autodiff would then feed an f32 cotangent to the transposed conv
+    # against the bf16 kernel (dtype-mismatch TypeError). TPU bf16 convs
+    # accumulate in f32 on the MXU natively, so the result still rounds
+    # f32->bf16 once, matching the grouped core's epilogue.
     y2d = jax.lax.conv_general_dilated(
         x2d, w4, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(compute_dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(compute_dtype)
     yv = y2d.reshape(b * w * d * h, cout)
     cc = jnp.clip(coords, 0, jnp.asarray([d - 1, h - 1, w - 1]))
     idx = ((cc[..., 2] + (jnp.arange(b, dtype=coords.dtype) * w)[:, None])
@@ -759,8 +782,9 @@ def pooled_rows_fused(coords, mask, h_rows, dims):
     return _pooled_rows_fused(coords, mask, h_rows, tuple(dims))
 
 
-# The pool forward's dense scatter table ([b*(s+v), C+1] rows, lane-padded
-# to 128 on TPU) is the step's single biggest transient at full resolution;
+# The pool forward's dense scatter table ([b*(s+v), C] payload rows, lane-
+# aligned at C=64, + the 1-D occupancy table)
+# is the step's single biggest transient at full resolution;
 # budget it like the fold table so batch growth (BN calibration at the
 # reference's batch 64, README.md:164-170) degrades into chunking instead
 # of an OOM. DPCR_POOL_FWD_BYTES overrides; default 45% of device HBM
@@ -783,8 +807,10 @@ def _pool_fwd_table_bytes(b: int, v: int, dims, c: int,
     s = d * h * w
     if POOL_FWD_MODE == "scattermax":                # L1-resolution table
         s = -(-d // 2) * -(-h // 2) * -(-w // 2)
-    lanes = -(-(c + 1) // 128) * 128                 # TPU T(8,128) padding
-    return b * (s + v) * lanes * itemsize
+    # occupancy is a separate 1-D table (1 lane-row per site); the payload
+    # table is exactly C channels wide (lane-aligned at C=64)
+    lanes = -(-c // 128) * 128                       # TPU T(8,128) padding
+    return b * (s + v) * (lanes + 1) * itemsize
 
 
 def _pool_fwd_chunk_count(b: int, v: int, dims, c: int,
