@@ -30,7 +30,7 @@ run_bench() {  # run_bench <tag> [ENV=V ...]
   note "$tag rc=$?"
 }
 
-SUBSET=${*:-p32 p16 c1 c2 c3}
+SUBSET=${*:-c0 p32 c1 c2 c7 c3 p16 c4 c5 c6}
 for t in $SUBSET; do
   case $t in
     p32) if [ ! -f "$OUT/profile_bs32.txt" ]; then
@@ -47,6 +47,7 @@ for t in $SUBSET; do
              > "$OUT/profile_bs16.txt" 2>> "$LOG"
            note "profile bs16 rc=$?"
          fi ;;
+    c0) run_bench c0 ;;   # re-baseline: default path incl. scatter split
     c1) run_bench c1 DPCR_STEM=conv2d ;;
     c2) run_bench c2 DPCR_SCATTER=sorted ;;
     c3) run_bench c3 DPCR_SCATTER=flags ;;
