@@ -8,8 +8,8 @@
 # The run is checkpoint-resumable: re-invoking continues from the last
 # epoch. The train phase is bounded by $1 (seconds, default 4 h); on
 # timeout the protocol tail runs on the best-val weights reached.
-# eval_frequency=10 logs the val/test trajectory (the epoch-vs-R2 curve
-# VERDICT asks for) every 10 epochs into metrics.jsonl.
+# eval_frequency=15 logs the val/test trajectory (the epoch-vs-R2 curve
+# VERDICT asks for) every 15 epochs into metrics.jsonl.
 #
 # Run ON THE REAL TPU:  bash docs/experiments/round5/converged_trial.sh [train_timeout_s]
 set -u -o pipefail
@@ -25,7 +25,7 @@ COMMON="task=instance models=instance/minkowski_baseline model_name=SENet14
  data.synthetic_spatial=True data.dataroot=outputs/rehearse_nfi/data
  data.transform_type=sparse_xy training=nfi/minkowski training.epochs=310
  lr_scheduler=cosineawr update_lr_scheduler_on=on_num_batch
- eval_frequency=10"
+ eval_frequency=15"
 
 RESUME=""
 if [ -f "$OUT/trial0/SENet14.ckpt" ]; then
