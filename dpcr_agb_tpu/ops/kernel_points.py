@@ -108,7 +108,17 @@ def potential_descent(num_points: int, fixed: str = "center",
         diff = kp[:, :, None, :] - kp[:, None, :, :]          # [C,K,K,3]
         d2 = (diff ** 2).sum(-1)
         inter = (diff / (d2[..., None] ** 1.5 + 1e-6)).sum(2)  # [C,K,3]
-        grads = inter + 10.0 * kp
+        # Reference sign convention (kernel_points.py:273-283): its
+        # inter_grads sum over axis 1 gives sum_i (p_i - p_j)/d^3 at point
+        # j, i.e. MINUS the repulsion direction, and the update then
+        # SUBTRACTS the gradient — so points move apart. Our `inter` sums
+        # over axis 2 (= +repulsion at point i), so it must enter the
+        # gradient NEGATED; round 1-4 had `inter + 10*kp`, which made the
+        # update ATTRACT points: K=15 dispositions collapsed into a
+        # 6-point clump at r~0.05 plus a blown-out hemisphere shell at
+        # r~1.1 (min pairwise distance 0.024), measured -0.31 test R2 vs
+        # Lloyd on the round-5 disposition A/B before the fix.
+        grads = 10.0 * kp - inter
         if fixed == "verticals":  # vertical pair moves only along z
             grads[:, 1:3, :2] = 0.0
         norms = np.sqrt((grads ** 2).sum(-1))                  # [C,K]

@@ -149,7 +149,14 @@ class TestKernelPoints:
         np.testing.assert_allclose(radii[1:].mean(), 0.66, atol=1e-3)
         d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
         d[np.eye(15, dtype=bool)] = np.inf
-        assert d.min() > 0.2  # repulsion spread the points
+        # repulsion must spread the points into a near-uniform shell: the
+        # round-1-4 sign bug (attraction) produced a 6-point clump at
+        # r~0.05 (min pairwise 0.024) + a hemisphere shell at r~1.1 and
+        # still passed a weaker d.min() > 0.2 at these reduced step
+        # counts — these bounds fail on any collapsing dynamics
+        assert d.min() > 0.45, f"clumped disposition (min pair {d.min():.3f})"
+        assert radii[1:].std() < 0.05, f"radius spread {radii[1:].std():.3f}"
+        assert abs(pts[1:, 2].mean()) < 0.25  # no hemisphere collapse
 
     def test_potential_descent_verticals(self):
         from dpcr_agb_tpu.ops.kernel_points import potential_descent
