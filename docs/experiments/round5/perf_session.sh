@@ -55,6 +55,8 @@ for t in $SUBSET; do
     c5) run_bench c5 DPCR_FOLD_CHUNKS=4 ;;
     c6) run_bench c6 DPCR_POOL_BWD_BYTES=99000000000 ;;  # unchunked cube
     c7) run_bench c7 DPCR_STEM=conv2d DPCR_SCATTER=sorted ;;
+    c8) run_bench c8 DPCR_FOLD_UNROLL=1 ;;   # inline chunk loops
+    c9) run_bench c9 DPCR_FOLD_UNROLL=1 DPCR_POOL_BWD_BYTES=99000000000 ;;
   esac
 done
 note "session phase done"

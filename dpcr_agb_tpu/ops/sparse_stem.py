@@ -378,6 +378,26 @@ def stem_conv_sparse_batch(coords: jnp.ndarray, mask: jnp.ndarray,
                 "to fall back silently (the unchunked fold has a different "
                 "memory/group-size profile)")
         bc = b // chunks
+        if os.environ.get("DPCR_FOLD_UNROLL", "") == "1":
+            # inline the chunks instead of lax.map: the round-5 bs32
+            # profile put the stem's while loop at 153.7 ms with
+            # ~58 ms-class copy-starts at its boundaries (loop-invariant
+            # re-staging). A barrier chains chunk i+1 on chunk i's output
+            # so the fold-table transients stay serialized (same peak
+            # memory), while XLA may overlap the boundary copies.
+            outs = []
+            prev = None
+            for ci in range(chunks):
+                sl = slice(ci * bc, (ci + 1) * bc)
+                cc_, mm, ff = coords[sl], mask[sl], feats[sl]
+                if prev is not None:
+                    # data-dependence on the previous chunk's result
+                    ff, _ = jax.lax.optimization_barrier((ff, prev))
+                yci = core(cc_, mm, ff, dims, weights, kernel_size,
+                           compute_dtype)
+                prev = yci
+                outs.append(yci)
+            return jnp.concatenate(outs, axis=0)
         y = jax.lax.map(
             lambda args: core(
                 args[0], args[1], args[2], dims, weights, kernel_size,
@@ -965,15 +985,30 @@ def _pooled_rows_bwd(dims, res, cts):
             f"(got {b})")
     if chunks > 1:
         bc = b // chunks
+        if os.environ.get("DPCR_FOLD_UNROLL", "") == "1":
+            # see stem_conv_sparse_batch: inline chunks + barrier instead
+            # of lax.map (round-5 profile: the pool-bwd while = 57.8 ms)
+            outs = []
+            prev = None
+            for ci in range(chunks):
+                sl = slice(ci * bc, (ci + 1) * bc)
+                hh = h_rows[sl]
+                if prev is not None:
+                    hh, _ = jax.lax.optimization_barrier((hh, prev))
+                d = _pool_bwd_rows(coords[sl], mask[sl], hh, y[sl],
+                                   ctm[sl], dims, mode)
+                prev = d
+                outs.append(d)
+            dx = jnp.concatenate(outs, axis=0)
+        else:
+            def split(x):
+                return x.reshape(chunks, bc, *x.shape[1:])
 
-        def split(x):
-            return x.reshape(chunks, bc, *x.shape[1:])
-
-        dx = jax.lax.map(
-            lambda a: _pool_bwd_rows(*a, dims, mode),
-            (split(coords), split(mask), split(h_rows), split(y),
-             split(ctm)))
-        dx = dx.reshape(b, v, c)
+            dx = jax.lax.map(
+                lambda a: _pool_bwd_rows(*a, dims, mode),
+                (split(coords), split(mask), split(h_rows), split(y),
+                 split(ctm)))
+            dx = dx.reshape(b, v, c)
     else:
         dx = _pool_bwd_rows(coords, mask, h_rows, y, ctm, dims, mode)
     f0 = jax.dtypes.float0
