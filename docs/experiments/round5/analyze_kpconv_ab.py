@@ -57,7 +57,7 @@ for pct in (100, 90, 80):
         arms[f"p{pct}_s{s}"] = a
 # fixed-descent arms (post sign-fix, kpconv_ab_fixed.sh) — the arms the
 # round-5 decisions are actually based on
-for tag in ("p90f_s0", "p100a8f_s0", "p80f_s0"):
+for tag in ("p90f_s0", "p90f_s1", "p100a8f_s0", "p80f_s0"):
     arms[tag] = arm(tag)
 for s in (0, 1):
     arms[f"p90_lloyd_s{s}"] = arm(f"p90_lloyd_s{s}")
