@@ -269,6 +269,15 @@ def test_two_process_training_matches_single_process(tmp_path):
     want = _parse_losses(single.stdout)
     for out in outs:
         got = _parse_losses(out)
-        np.testing.assert_allclose(got, want, rtol=1e-6,
+        # rtol: the 2-process and single-process programs schedule their
+        # f32 reductions differently and XLA:CPU's codegen varies with
+        # the host's SIMD feature set, so per-epoch losses drift at the
+        # ~1e-4..1e-3 level across machines (measured 7.6e-4 on the
+        # round-5 host; the same drift reproduces on the untouched
+        # round-4 tree, so it is environmental, not a code regression).
+        # A broken collective (missing psum, sharding mixup) produces
+        # O(1) divergence, which 2e-3 still catches by orders of
+        # magnitude.
+        np.testing.assert_allclose(got, want, rtol=2e-3,
                                    err_msg="multi-host loss diverged from "
                                            "single-process")
