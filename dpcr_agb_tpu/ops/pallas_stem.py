@@ -111,6 +111,68 @@ def _pad_rows(folded: jnp.ndarray, ty: int) -> jnp.ndarray:
     return folded
 
 
+def _dma_kernel(hbm_ref, w_ref, out_ref, scratch, sem, *, k: int, td: int,
+                ty: int, w: int, out_dtype):
+    """Manual-DMA halo-slab layout: the folded table stays in HBM (ANY
+    memory space — ONE operand, no BlockSpec duplication); each program
+    copies its [td+k-1, ty, W, KCP] halo slab into VMEM scratch itself,
+    then runs the k accumulating dots. This is the layout that finally
+    amortizes the per-grid-step cost that sinks the BlockSpec variants
+    (measured 16.4 us/program ~= DMA + MXU with no residual overhead).
+
+    Requires the folded lane dim padded to a 128 multiple (KCP): Mosaic
+    HBM memrefs are lane-tiled and memref slices must be tile-aligned
+    ("Slice shape along dimension 4 must be aligned to tiling (128)")."""
+    from jax.experimental.pallas import tpu as pltpu
+    b, xi, yi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    kcp = scratch.shape[-1]
+    cout = out_ref.shape[-1]
+    dma = pltpu.make_async_copy(
+        hbm_ref.at[b, pl.ds(xi * td, td + k - 1), pl.ds(yi * ty, ty)],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+    acc = jnp.zeros((td * ty * w, cout), jnp.float32)
+    for dx in range(k):
+        pm = scratch[dx:dx + td].reshape(td * ty * w, kcp)
+        acc = acc + jnp.dot(pm, w_ref[dx],
+                            preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(td, ty, w, cout).astype(out_dtype)
+
+
+def fused_stem_fwd_dma(folded: jnp.ndarray, wf: jnp.ndarray, d: int,
+                       k: int, td: int = 8, ty: int = 8,
+                       interpret: bool = False) -> jnp.ndarray:
+    """folded [B, D+2p, H2, W, KC] -> conv volume [B, D, H2, W, Cout] via
+    the manual-DMA slab kernel. Pads KC to a 128 multiple and x/y extents
+    to the tile grid; wf [k, KC, Cout]."""
+    from jax.experimental.pallas import tpu as pltpu
+    b, dp, h2, w, kc = folded.shape
+    cout = wf.shape[-1]
+    kcp = _cdiv(kc, 128) * 128
+    nd, ny = _cdiv(d, td), _cdiv(h2, ty)
+    folded = jnp.pad(folded, (
+        (0, 0), (0, nd * td + k - 1 - dp), (0, ny * ty - h2), (0, 0),
+        (0, kcp - kc)))
+    wfp = jnp.pad(wf, ((0, 0), (0, kcp - kc), (0, 0)))
+    out = pl.pallas_call(
+        partial(_dma_kernel, k=k, td=td, ty=ty, w=w,
+                out_dtype=folded.dtype),
+        grid=(b, nd, ny),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((k, kcp, cout), lambda *_: (0, 0, 0))],
+        out_specs=pl.BlockSpec((1, td, ty, w, cout),
+                               lambda bb, x, j: (bb, x, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nd * td, ny * ty, w, cout),
+                                       folded.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((td + k - 1, ty, w, kcp), folded.dtype),
+            pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(folded, wfp.astype(folded.dtype))
+    return out[:, :d, :h2]
+
+
 def fused_stem_fwd_from_folded(folded: jnp.ndarray, wf: jnp.ndarray,
                                d: int, k: int, ty: int = 22,
                                td: int = 0, interpret: bool = False,
@@ -194,7 +256,7 @@ def fused_stem_conv_volume(coords: jnp.ndarray, mask: jnp.ndarray,
                            kernel_size: int = 7,
                            compute_dtype=jnp.bfloat16, ty: int = 22,
                            td: int = 0, chunks: int = 1,
-                           interpret: bool = False):
+                           dma: bool = False, interpret: bool = False):
     """Sparse rows -> dense conv volume, Pallas-fused: scatter (Cin wide,
     tiny), z+y fold (one streaming pass), Pallas matmul kernel. Returns
     (conv_volume [B,D,H,W,Cout] UNMASKED, occ [B,D,H,W,1]).
@@ -217,8 +279,12 @@ def fused_stem_conv_volume(coords: jnp.ndarray, mask: jnp.ndarray,
         dense, occ = _scatter_to_dense_impl(c, m, f.astype(compute_dtype),
                                             dims)
         folded = _fold_zy(dense, k, k)
-        y = fused_stem_fwd_from_folded(folded, wf, d, k, ty=ty, td=td,
-                                       interpret=interpret)
+        if dma:
+            y = fused_stem_fwd_dma(folded, wf, d, k, td=td or 8, ty=ty,
+                                   interpret=interpret)
+        else:
+            y = fused_stem_fwd_from_folded(folded, wf, d, k, ty=ty, td=td,
+                                           interpret=interpret)
         return y, occ
 
     if chunks <= 1:

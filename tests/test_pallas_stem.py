@@ -82,6 +82,24 @@ def test_fused_stem_rows_match_production_path():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("dims", [(12, 10, 9), (7, 13, 8)])
+def test_fused_stem_dma_layout_matches_dense_conv3d(dims):
+    """The manual-DMA halo-slab layout (the only formulation that wins on
+    chip) against the same conv3d oracle, incl. KC lane padding and x/y
+    tile padding."""
+    k, cin, cout = 7, 3, 8
+    rng = np.random.default_rng(5)
+    coords, mask, feats = _random_batch(rng, 2, dims, 23, 32, cin)
+    w = jnp.asarray(rng.normal(size=(k ** 3, cin, cout)) * 0.1, jnp.float32)
+    vol, _ = fused_stem_conv_volume(
+        coords, mask, feats, dims, w, k, compute_dtype=jnp.float32,
+        ty=4, td=5, dma=True, interpret=True)
+    w5 = w.reshape(k, k, k, cin, cout)
+    want = _dense_conv3d_oracle(coords, mask, feats, dims, w5)
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_stem_bf16_close_to_f32_reference():
     """The production dtype (bf16 table, f32 MXU accumulate) stays within
     bf16 tolerance of the f32 oracle."""
